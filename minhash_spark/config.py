@@ -1,0 +1,66 @@
+"""Pipeline configuration (the Spark analogue of the reference's analyzer /
+token-filter settings).
+
+The reference reads ``bit``/``size``/``seed`` once per index and precomputes
+the hash family (MinHashTokenFilterFactory.java:39-43). We mirror that: one
+frozen dataclass, built once on the driver, broadcast implicitly via UDF
+closure; its ``config_hash`` gates checkpoint reuse (a config change
+invalidates downstream stages, cf. SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    # signature kernel (reference parameters, MinHashTokenFilterFactory.java:39-41)
+    seed: int = 0
+    size: int = 128           # number of hash functions
+    bit: int = 1              # sampled bits per hash
+
+    # tokenization (reference: any analyzer chain; README.md:42)
+    tokenizer: str = "word"   # word | char_shingle | word_shingle
+    tokenizer_params: dict = field(default_factory=dict)
+
+    # LSH banding over the full 64-bit minima (SURVEY §2.3 P4)
+    num_bands: int = 32
+    rows_per_band: int = 4
+
+    # candidate verification
+    verify_threshold: float = 0.8     # exact-Jaccard acceptance
+    sig_prefilter_margin: float = 0.15  # cheap b-bit estimate filter: keep est >= thr - margin
+
+    # skew handling: buckets larger than this are capped (pairs beyond the cap
+    # per bucket are truncated WITH a logged metric, SURVEY §2.3 P5)
+    max_bucket_size: int = 2000
+
+    # null handling (MinHashFieldMapper.java:89-90,260-269)
+    null_value: str | None = None
+
+    @property
+    def sig_width(self) -> int:
+        return (self.size * self.bit + 7) // 8
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    def validate(self) -> "MinHashConfig":
+        if self.num_bands * self.rows_per_band > self.size:
+            raise ValueError("num_bands*rows_per_band must be <= size")
+        if not (1 <= self.bit <= 16):
+            raise ValueError("bit must be in 1..16")
+        return self
+
+
+# the three analyzer configs from the reference's golden test
+# (MinHashPluginTest.java:79-89)
+REFERENCE_CONFIGS = {
+    "analyzer1": MinHashConfig(seed=0, size=128, bit=1, tokenizer="word"),
+    "analyzer2": MinHashConfig(seed=1000, size=128, bit=1, tokenizer="word"),
+    "analyzer3": MinHashConfig(seed=1000, size=32, bit=2, tokenizer="word", num_bands=8),
+}

@@ -1,0 +1,661 @@
+"""Pure-NumPy b-bit MinHash kernel — byte-exact with codelibs/elasticsearch-minhash.
+
+This module is Spark-free. It re-implements, from public knowledge (Guava
+murmur3_x64_128, the b-bit minwise hashing paper Li & Koenig WWW 2010, and the
+reference's public API call sites), the signature computation performed by the
+reference plugin's ``minhash`` token filter:
+
+  * ``MinHashTokenFilterFactory.java:39-49`` — k murmur3_128 hash functions
+    seeded ``seed .. seed+k-1``, b-bit sampling.
+  * ``MinHashFieldMapper.java:271-278`` — base64 / bit-string surface encodings.
+  * Golden vectors: ``MinHashPluginTest.java:163-170`` (six base64 strings) —
+    all six are reproduced byte-exactly by this kernel (see tests/test_kernel.py).
+
+Semantics (validated, SURVEY.md §2.1):
+  1. tokens are hashed over their UTF-16LE code units (Guava
+     ``hashUnencodedChars``), NOT UTF-8;
+  2. per hash function the doc value is the SIGNED int64 min over tokens of
+     the ``h1`` lane (first 8 little-endian bytes) of murmur3_x64_128;
+     accumulator starts at Long.MAX_VALUE (empty doc => all minima 2^63-1);
+  3. the lowest ``bit`` bits of each minimum, LSB first, in function order,
+     are packed with ``java.util.BitSet.toByteArray()`` semantics: bit p of
+     the stream lands in byte p//8, bit p%8 (little-endian inside each byte),
+     and trailing all-zero BYTES are truncated;
+  4. surface encodings: base64 of those bytes, or an MSB-first-per-byte
+     "0"/"1" string (``bit_string:true``).
+
+Everything is vectorized: murmur3's block mixing is seed-independent, so a
+batch of tokens is pre-mixed once and folded across all k seeds as 2-D uint64
+NumPy arithmetic (tokens x seeds). A slow pure-Python oracle is kept for
+property tests.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+
+import numpy as np
+
+LONG_MAX = np.int64(0x7FFFFFFFFFFFFFFF)
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_C1 = np.uint64(0x87C37B91114253D5)
+_C2 = np.uint64(0x4CF5AD432745937F)
+_F1 = np.uint64(0xFF51AFD7ED558CCD)
+_F2 = np.uint64(0xC4CEB9FE1A85EC53)
+_M5 = np.uint64(5)
+_A1 = np.uint64(0x52DCE729)
+_A2 = np.uint64(0x38495AB5)
+
+# ---------------------------------------------------------------------------
+# vectorized murmur3_x64_128 (h1 lane), one token batch x many seeds
+# ---------------------------------------------------------------------------
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _fmix64(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> np.uint64(33))
+    k = k * _F1
+    k = k ^ (k >> np.uint64(33))
+    k = k * _F2
+    k = k ^ (k >> np.uint64(33))
+    return k
+
+
+def _premix_blocks(tokens: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode tokens to UTF-16LE, pad to 16-byte blocks (always >=1 tail block),
+    and apply the seed-independent murmur3 block pre-mix.
+
+    Returns (k1p, k2p, nblocks, bytelen):
+      k1p/k2p : (n_tokens, max_blocks) uint64 pre-mixed lanes (tail block included
+                as the column at index nblocks[i]);
+      nblocks : (n_tokens,) int full 16-byte blocks per token (tail excluded);
+      bytelen : (n_tokens,) int UTF-16LE byte length.
+    """
+    encoded = [t.encode("utf-16-le", "surrogatepass") for t in tokens]
+    bytelen = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded))
+    nblocks = bytelen // 16
+    # always one extra (possibly all-zero) tail block: XOR-mixing zeros is a no-op,
+    # which matches murmur3 skipping the empty tail.
+    padded_blocks = int(nblocks.max()) + 1 if len(tokens) else 1
+    buf = np.zeros((len(tokens), padded_blocks * 16), dtype=np.uint8)
+    for i, e in enumerate(encoded):
+        buf[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+    lanes = buf.view("<u8")  # (n, 2*padded_blocks): k1,k2 interleaved
+    k1 = np.ascontiguousarray(lanes[:, 0::2])
+    k2 = np.ascontiguousarray(lanes[:, 1::2])
+    with np.errstate(over="ignore"):
+        k1p = _rotl(k1 * _C1, 31) * _C2
+        k2p = _rotl(k2 * _C2, 33) * _C1
+    return k1p, k2p, nblocks, bytelen
+
+
+def _seed_longs(seed: int, size: int) -> np.ndarray:
+    """Java ``(long) intSeed`` sign-extension for seeds seed..seed+size-1."""
+    s = (np.int64(seed) + np.arange(size, dtype=np.int64)).astype(np.int32)
+    return s.astype(np.int64).view(np.uint64)
+
+
+def hash_tokens(tokens: list[str], seeds: np.ndarray) -> np.ndarray:
+    """murmur3_x64_128 h1 lane of each token under each seed.
+
+    Returns (n_tokens, n_seeds) int64 (signed, as Java ``HashCode.asLong()``).
+    """
+    n, k = len(tokens), len(seeds)
+    if n == 0:
+        return np.empty((0, k), dtype=np.int64)
+    k1p, k2p, nblocks, bytelen = _premix_blocks(tokens)
+    max_nb = int(nblocks.max())
+    h1 = np.broadcast_to(seeds, (n, k)).copy()
+    h2 = h1.copy()
+    with np.errstate(over="ignore"):
+        # full blocks (seed-dependent fold; sequential over block index)
+        for j in range(max_nb):
+            alive = nblocks > j
+            if not alive.all():
+                a1, a2 = h1[alive], h2[alive]
+                a1 = a1 ^ k1p[alive, j][:, None]
+                a1 = _rotl(a1, 27) + a2
+                a1 = a1 * _M5 + _A1
+                a2 = a2 ^ k2p[alive, j][:, None]
+                a2 = _rotl(a2, 31) + a1
+                a2 = a2 * _M5 + _A2
+                h1[alive], h2[alive] = a1, a2
+            else:
+                h1 ^= k1p[:, j][:, None]
+                h1 = _rotl(h1, 27) + h2
+                h1 = h1 * _M5 + _A1
+                h2 ^= k2p[:, j][:, None]
+                h2 = _rotl(h2, 31) + h1
+                h2 = h2 * _M5 + _A2
+        # tail block (zero-padded; XOR of pre-mixed zeros is a no-op => exact)
+        rows = np.arange(n)
+        h1 = h1 ^ k1p[rows, nblocks][:, None]
+        h2 = h2 ^ k2p[rows, nblocks][:, None]
+        # finalization
+        ln = bytelen.view(np.uint64)[:, None]
+        h1 = h1 ^ ln
+        h2 = h2 ^ ln
+        h1 = h1 + h2
+        h2 = h2 + h1
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        h1 = h1 + h2
+    return h1.view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# per-document minima over (possibly shared) token vocabularies
+# ---------------------------------------------------------------------------
+
+
+def _segment_min(
+    uhash: np.ndarray, tok_ids: np.ndarray, counts: np.ndarray, docs_per_chunk: int = 256
+) -> np.ndarray:
+    """Per-document column-wise min over rows of ``uhash`` selected by
+    ``tok_ids`` (concatenated per doc; ``counts[d]`` ids for doc d).
+
+    Memory-bound core; two tricks keep traffic low:
+      * rank compression — per seed, replace int64 hash values by their sort
+        rank (uint16/uint32); min over ranks == min over values, then map the
+        winning rank back. 4x (or 2x) less gather traffic than raw int64.
+      * docs are bucketed by token count (sorted) and padded to the bucket
+        max with their own first token (min is idempotent), so the reduction
+        is a fully-SIMD ``min(axis=1)`` over a dense cube, not ``reduceat``.
+
+    Returns (n_docs, size) int64; rows with count==0 are LONG_MAX.
+    """
+    n_docs = len(counts)
+    size = uhash.shape[1]
+    mins = np.full((n_docs, size), LONG_MAX, dtype=np.int64)
+    if len(tok_ids) == 0:
+        return mins
+    n_uniq = uhash.shape[0]
+    rank_dtype = np.uint16 if n_uniq <= 0xFFFF else np.uint32
+    order = np.argsort(uhash, axis=0, kind="stable")
+    sorted_vals = np.take_along_axis(uhash, order, axis=0)
+    ranks = np.empty((n_uniq, size), dtype=rank_dtype)
+    arange = np.arange(n_uniq, dtype=rank_dtype)[:, None]
+    np.put_along_axis(ranks, order, np.broadcast_to(arange, (n_uniq, size)), axis=0)
+
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    nonempty = np.flatnonzero(counts > 0)
+    by_count = nonempty[np.argsort(counts[nonempty], kind="stable")]
+    cols = np.arange(size)
+    for i in range(0, len(by_count), docs_per_chunk):
+        sel = by_count[i : i + docs_per_chunk]
+        w = int(counts[sel].max())
+        ids = np.empty((len(sel), w), dtype=np.int64)
+        for r, d in enumerate(sel):
+            c = counts[d]
+            ids[r, :c] = tok_ids[offsets[d] : offsets[d] + c]
+            ids[r, c:] = ids[r, 0]  # pad with own token: no-op under min
+        g = ranks[ids.ravel()].reshape(len(sel), w, size)
+        mr = g.min(axis=1).astype(np.intp)
+        mins[sel] = sorted_vals[mr, cols[None, :]]
+    return mins
+
+
+def _factorize_tokens(docs_tokens: list[list[str]]) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """Flatten token lists and map to a batch vocabulary.
+
+    Returns (uniq_tokens, tok_ids, counts): ``tok_ids`` concatenated per doc.
+    Uses pandas factorize (hash-based, C-speed) when available.
+    """
+    counts = np.fromiter((len(t) for t in docs_tokens), dtype=np.int64, count=len(docs_tokens))
+    flat: list[str] = [t for toks in docs_tokens for t in toks]
+    if not flat:
+        return [], np.empty(0, dtype=np.int64), counts
+    try:
+        import pandas as pd
+
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        return list(uniques), codes.astype(np.int64), counts
+    except ImportError:  # pragma: no cover
+        vocab: dict[str, int] = {}
+        codes = np.empty(len(flat), dtype=np.int64)
+        for i, t in enumerate(flat):
+            codes[i] = vocab.setdefault(t, len(vocab))
+        return list(vocab.keys()), codes, counts
+
+
+def minhash_mins(
+    docs_tokens: list[list[str]],
+    seed: int = 0,
+    size: int = 128,
+    token_chunk: int = 1 << 12,
+) -> np.ndarray:
+    """(n_docs, size) int64 signed minima; Long.MAX_VALUE rows for empty docs.
+
+    Tokens are deduplicated across the whole batch (min is idempotent), hashed
+    once, then segment-min'd per doc — the shared-vocabulary win dominates on
+    text/code corpora.
+    """
+    n_docs = len(docs_tokens)
+    uniq, tok_ids, counts = _factorize_tokens(docs_tokens)
+    if not uniq:
+        return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
+    seeds = _seed_longs(seed, size)
+    uhash = np.empty((len(uniq), size), dtype=np.int64)
+    for lo in range(0, len(uniq), token_chunk):
+        uhash[lo : lo + token_chunk] = hash_tokens(uniq[lo : lo + token_chunk], seeds)
+    return _segment_min(uhash, tok_ids, counts)
+
+
+def minhash_mins_char_shingle(
+    texts: list[str],
+    k: int = 9,
+    seed: int = 0,
+    size: int = 128,
+    token_chunk: int = 1 << 12,
+) -> np.ndarray:
+    """Fast path for char-shingle MinHash: shingles are sliding windows of k
+    UTF-16 code units over whitespace-normalized text, never materialized as
+    Python strings. Batch dedup keys on the 128-bit murmur3 digest (seed 0)
+    of each window via lexsort (collision odds ~n^2/2^129 — negligible; the
+    string path remains the exactness oracle). Semantics match
+    ``tokenize.char_shingles`` for BMP text (code units == code points).
+    """
+    import re
+
+    ws = re.compile(r"\s+")
+    n_docs = len(texts)
+    wins: list[np.ndarray] = []
+    counts = np.zeros(n_docs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        norm = ws.sub(" ", t.strip())
+        if not norm:
+            continue
+        u = np.frombuffer(norm.encode("utf-16-le"), dtype="<u2")
+        if len(u) <= k:
+            w = np.zeros((1, k), dtype=np.uint16)
+            w[0, : len(u)] = u
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(u, k)
+        wins.append(w)
+        counts[i] = len(w)
+    if not wins:
+        return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
+    allw = np.concatenate(wins)
+    del wins
+    # 128-bit dedup key per window (seed 0, both lanes)
+    h1, h2 = _hash_blocks_u16(allw, k)
+    order = np.lexsort((h2, h1))
+    h1s, h2s = h1[order], h2[order]
+    new = np.empty(len(order), dtype=bool)
+    new[0] = True
+    new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+    gid_sorted = np.cumsum(new) - 1
+    tok_ids = np.empty(len(order), dtype=np.int64)
+    tok_ids[order] = gid_sorted
+    rep_rows = order[new]  # first window per unique shingle
+    uniq_w = allw[rep_rows]
+    del allw
+    # short texts were zero-padded to k units; zero-trim for exact byte length
+    uniq_tokens = _u16_rows_to_strings(uniq_w)
+    seeds = _seed_longs(seed, size)
+    uhash = np.empty((len(uniq_tokens), size), dtype=np.int64)
+    for lo in range(0, len(uniq_tokens), token_chunk):
+        uhash[lo : lo + token_chunk] = hash_tokens(uniq_tokens[lo : lo + token_chunk], seeds)
+    return _segment_min(uhash, tok_ids, counts)
+
+
+def _u16_rows_to_strings(rows: np.ndarray) -> list[str]:
+    """Decode (n, k) uint16 rows to Python strings (surrogatepass; trailing
+    NULs — short-text padding — stripped)."""
+    out = []
+    raw = rows.astype("<u2").tobytes()
+    k = rows.shape[1]
+    for i in range(rows.shape[0]):
+        s = raw[i * 2 * k : (i + 1) * 2 * k].decode("utf-16-le", "surrogatepass")
+        out.append(s.rstrip("\x00"))
+    return out
+
+
+def _hash_blocks_u16(rows: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """murmur3_x64_128 (seed 0) h1+h2 lanes for each row of a (n, k) uint16
+    matrix interpreted as UTF-16LE bytes of length 2k. Used as a dedup key."""
+    n = rows.shape[0]
+    bytelen = 2 * k
+    nblocks = bytelen // 16
+    pad_units = (nblocks + 1) * 8  # uint16 units incl. tail block
+    buf = np.zeros((n, pad_units), dtype="<u2")
+    buf[:, :k] = rows
+    lanes = buf.view("<u8")
+    k1 = np.ascontiguousarray(lanes[:, 0::2])
+    k2 = np.ascontiguousarray(lanes[:, 1::2])
+    with np.errstate(over="ignore"):
+        k1p = _rotl(k1 * _C1, 31) * _C2
+        k2p = _rotl(k2 * _C2, 33) * _C1
+        h1 = np.zeros(n, dtype=np.uint64)
+        h2 = np.zeros(n, dtype=np.uint64)
+        for j in range(nblocks):
+            h1 ^= k1p[:, j]
+            h1 = _rotl(h1, 27) + h2
+            h1 = h1 * _M5 + _A1
+            h2 ^= k2p[:, j]
+            h2 = _rotl(h2, 31) + h1
+            h2 = h2 * _M5 + _A2
+        h1 = h1 ^ k1p[:, nblocks]
+        h2 = h2 ^ k2p[:, nblocks]
+        ln = np.uint64(bytelen)
+        h1 = h1 ^ ln
+        h2 = h2 ^ ln
+        h1 = h1 + h2
+        h2 = h2 + h1
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        out1 = h1 + h2
+        out2 = h2 + out1
+    return out1, out2
+
+
+# ---------------------------------------------------------------------------
+# one-permutation hashing (OPH) — the 100 TB scale scheme
+# ---------------------------------------------------------------------------
+
+
+def _oph_from_pairs(
+    hvals: np.ndarray, doc_ids: np.ndarray, n_docs: int, size: int, seed: int
+) -> np.ndarray:
+    """One-permutation MinHash from (doc_id, token_hash) pairs.
+
+    Each token is hashed ONCE; its high bits pick one of ``size`` bins and the
+    per-(doc, bin) min is kept (Li/Owen/Zhang NIPS 2012). Empty bins are
+    filled by circular rotation densification (Shrivastava & Li ICML 2014),
+    offset-mixed so borrowed values differ across bins. ~size-times cheaper
+    than the k-seed scheme with equivalent LSH behavior; NOT byte-compatible
+    with the reference encoding (use scheme='kseed' for that).
+
+    Returns (n_docs, size) int64; empty docs stay LONG_MAX.
+    """
+    mins = np.full((n_docs, size), LONG_MAX, dtype=np.int64)
+    if len(hvals) == 0:
+        return mins
+    with np.errstate(over="ignore"):
+        u = hvals.view(np.uint64)
+        if seed:
+            u = _fmix64(u ^ np.uint64(np.int64(seed)))
+        # high bits -> bin (uniform); remaining entropy -> value
+        bins = ((u >> np.uint64(32)) * np.uint64(size)) >> np.uint64(32)
+        vals = _fmix64(u).view(np.int64)
+    key = doc_ids * np.int64(size) + bins.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    ks, vs = key[order], vals[order]
+    bnd = np.flatnonzero(np.diff(ks, prepend=np.int64(-1)))
+    seg_min = np.minimum.reduceat(vs, bnd)
+    flat = mins.reshape(-1)
+    flat[ks[bnd]] = seg_min
+    # rotation densification: forward-fill empty bins circularly (per doc)
+    filled = mins != LONG_MAX
+    any_filled = filled.any(axis=1)
+    dbl = np.concatenate([mins, mins], axis=1)
+    fdbl = np.concatenate([filled, filled], axis=1)
+    idx = np.where(fdbl, np.arange(2 * size), -1)
+    np.maximum.accumulate(idx, axis=1, out=idx)
+    take = idx[:, size:]  # for bin j: last filled bin at or before j+size in doubled view
+    rowr = np.arange(n_docs)[:, None]
+    borrowed = dbl[rowr, np.maximum(take, 0)]
+    offset = (np.arange(size)[None, :] + size - take) % (2 * size)
+    with np.errstate(over="ignore"):
+        mixed = _fmix64(borrowed.view(np.uint64) ^ (np.uint64(0xA24BAED4963EE407) * (offset.astype(np.uint64) + np.uint64(1)))).view(np.int64)
+    out = np.where(filled, mins, mixed)
+    out[~any_filled] = LONG_MAX
+    return out
+
+
+def oph_mins(docs_tokens: list[list[str]], size: int = 128, seed: int = 0) -> np.ndarray:
+    """OPH minima over string token lists (batch-deduped, one hash each)."""
+    uniq, tok_ids, counts = _factorize_tokens(docs_tokens)
+    n_docs = len(docs_tokens)
+    if not uniq:
+        return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
+    seeds0 = _seed_longs(0, 1)
+    h = np.empty(len(uniq), dtype=np.int64)
+    for lo in range(0, len(uniq), 1 << 14):
+        h[lo : lo + (1 << 14)] = hash_tokens(uniq[lo : lo + (1 << 14)], seeds0)[:, 0]
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    return _oph_from_pairs(h[tok_ids], doc_ids, n_docs, size, seed)
+
+
+def oph_mins_char_shingle(texts: list[str], k: int = 9, size: int = 128, seed: int = 0) -> np.ndarray:
+    """OPH fast path for char shingles: windows hashed once (h1 lane, seed 0),
+    no dedup or per-seed re-hash needed — cost is O(total_shingles), not
+    O(unique_shingles x size). This is the intended kernel at 100 TB."""
+    import re
+
+    ws = re.compile(r"\s+")
+    n_docs = len(texts)
+    wins: list[np.ndarray] = []
+    counts = np.zeros(n_docs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        norm = ws.sub(" ", t.strip())
+        if not norm:
+            continue
+        u = np.frombuffer(norm.encode("utf-16-le"), dtype="<u2")
+        if len(u) <= k:
+            w = np.zeros((1, k), dtype=np.uint16)
+            w[0, : len(u)] = u
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(u, k)
+        wins.append(w)
+        counts[i] = len(w)
+    if not wins:
+        return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
+    allw = np.concatenate(wins)
+    h1, _h2 = _hash_blocks_u16(allw, k)
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    return _oph_from_pairs(h1.view(np.int64), doc_ids, n_docs, size, seed)
+
+
+# ---------------------------------------------------------------------------
+# b-bit packing + surface encodings (compat boundary with the reference)
+# ---------------------------------------------------------------------------
+
+
+def pack_bbit(mins: np.ndarray, bit: int = 1) -> np.ndarray:
+    """Pack the lowest ``bit`` bits of each minimum, LSB first, in function
+    order, little-endian inside each byte (java.util.BitSet layout).
+
+    Returns (n_docs, ceil(size*bit/8)) uint8 — FIXED width (internal form;
+    the reference's trailing-zero truncation is applied only by the base64 /
+    bit-string compat encoders below).
+    """
+    u = mins.view(np.uint64)
+    shifts = np.arange(bit, dtype=np.uint64)
+    bits = ((u[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    flat = bits.reshape(mins.shape[0], mins.shape[1] * bit)
+    return np.packbits(flat, axis=1, bitorder="little")
+
+
+def strip_trailing_zeros(sig: bytes) -> bytes:
+    """java.util.BitSet.toByteArray() truncates trailing all-zero bytes."""
+    end = len(sig)
+    while end > 0 and sig[end - 1] == 0:
+        end -= 1
+    return sig[:end]
+
+
+def to_base64(sig: bytes) -> str:
+    """Reference surface encoding (MinHashFieldMapper.java:276-277)."""
+    return base64.b64encode(strip_trailing_zeros(sig)).decode("ascii")
+
+
+def to_bit_string(sig: bytes) -> str:
+    """Reference ``bit_string:true`` encoding (MinHashFieldMapper.java:273-274):
+    MSB-first binary per byte of the (truncated) signature bytes."""
+    return "".join(format(b, "08b") for b in strip_trailing_zeros(sig))
+
+
+def compare(sig_a: bytes, sig_b: bytes) -> float:
+    """Fraction of equal bits (MinHash.compare library surface, SURVEY §2.1.6).
+
+    Estimates ``J + (1-J)/2^b`` for b-bit signatures of Jaccard-J token sets.
+    Inputs must be the FIXED-width packed form (equal length).
+    """
+    a = np.frombuffer(sig_a, dtype=np.uint8)
+    b = np.frombuffer(sig_b, dtype=np.uint8)
+    if len(a) != len(b):
+        raise ValueError("signature width mismatch")
+    if len(a) == 0:
+        return 1.0
+    diff = np.unpackbits(a ^ b).sum()
+    return 1.0 - float(diff) / (8 * len(a))
+
+
+def estimate_jaccard(bit_match: float, bit: int) -> float:
+    """Invert E[bit-match] = J + (1-J)/2^b  =>  J = (p - q) / (1 - q), q=2^-b."""
+    q = 2.0 ** (-bit)
+    return max(0.0, min(1.0, (bit_match - q) / (1.0 - q)))
+
+
+# ---------------------------------------------------------------------------
+# LSH band keys over the full 64-bit minima (scale path; SURVEY §2.3 P4)
+# ---------------------------------------------------------------------------
+
+
+def band_keys(mins: np.ndarray, num_bands: int, rows_per_band: int, band_seed: int = 0x9E3779B9) -> np.ndarray:
+    """Hash consecutive groups of ``rows_per_band`` minima into one int64 key
+    per band. Banding over the FULL 64-bit minima (not the b-bit signature)
+    keeps the random-pair collision probability ~2^-64 per band, which is what
+    makes LSH viable at 10^12 rows (b-bit bands would collide at rate 2^-b*r).
+
+    The band index is folded into the key, so a single int64 key identifies
+    (band, band-value) and buckets from different bands never merge.
+
+    Returns (n_docs, num_bands) int64.
+    """
+    n, k = mins.shape
+    need = num_bands * rows_per_band
+    if need > k:
+        raise ValueError(f"num_bands*rows_per_band={need} exceeds size={k}")
+    u = mins.view(np.uint64)[:, :need].reshape(n, num_bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        acc = _fmix64(np.uint64(band_seed) ^ (np.arange(num_bands, dtype=np.uint64) * _C1))
+        acc = np.broadcast_to(acc, (n, num_bands)).copy()
+        for r in range(rows_per_band):
+            acc = _fmix64(acc ^ u[:, :, r])
+    return acc.view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (engine extension; 64-bit charikar simhash over token multiset)
+# ---------------------------------------------------------------------------
+
+
+def simhash64(docs_tokens: list[list[str]]) -> np.ndarray:
+    """64-bit SimHash per doc: sign of per-bit sums of token hashes (+1/-1),
+    token multiplicity counted. Returns (n_docs,) int64."""
+    seeds = _seed_longs(0, 1)
+    out = np.zeros(len(docs_tokens), dtype=np.int64)
+    for d, toks in enumerate(docs_tokens):
+        if not toks:
+            continue
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        uniq = list(counts.keys())
+        w = np.fromiter((counts[t] for t in uniq), dtype=np.int64, count=len(uniq))
+        h = hash_tokens(uniq, seeds)[:, 0].view(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+        sim = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                sim |= np.uint64(1) << np.uint64(i)
+        out[d] = np.int64(sim.astype(np.int64))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pure-Python oracle (slow; property tests assert vectorized == oracle)
+# ---------------------------------------------------------------------------
+
+_PMASK = (1 << 64) - 1
+_PC1 = 0x87C37B91114253D5
+_PC2 = 0x4CF5AD432745937F
+
+
+def _protl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _PMASK
+
+
+def _pfmix(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _PMASK
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _PMASK
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128_h1(data: bytes, seed: int) -> int:
+    """Pure-Python Guava-compatible murmur3_x64_128, h1 lane as SIGNED int64."""
+    seed &= 0xFFFFFFFF
+    if seed & 0x80000000:
+        seed |= 0xFFFFFFFF00000000
+    h1 = h2 = seed
+    length = len(data)
+    nblocks = length // 16
+    for i in range(nblocks):
+        k1, k2 = struct.unpack_from("<QQ", data, i * 16)
+        k1 = (k1 * _PC1) & _PMASK
+        k1 = _protl(k1, 31)
+        k1 = (k1 * _PC2) & _PMASK
+        h1 ^= k1
+        h1 = _protl(h1, 27)
+        h1 = (h1 + h2) & _PMASK
+        h1 = (h1 * 5 + 0x52DCE729) & _PMASK
+        k2 = (k2 * _PC2) & _PMASK
+        k2 = _protl(k2, 33)
+        k2 = (k2 * _PC1) & _PMASK
+        h2 ^= k2
+        h2 = _protl(h2, 31)
+        h2 = (h2 + h1) & _PMASK
+        h2 = (h2 * 5 + 0x38495AB5) & _PMASK
+    tail = data[nblocks * 16 :]
+    if tail:
+        t = tail + b"\x00" * (16 - len(tail))
+        k1, k2 = struct.unpack("<QQ", t)
+        k1 = (k1 * _PC1) & _PMASK
+        k1 = _protl(k1, 31)
+        k1 = (k1 * _PC2) & _PMASK
+        h1 ^= k1
+        k2 = (k2 * _PC2) & _PMASK
+        k2 = _protl(k2, 33)
+        k2 = (k2 * _PC1) & _PMASK
+        h2 ^= k2
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _PMASK
+    h2 = (h2 + h1) & _PMASK
+    h1 = _pfmix(h1)
+    h2 = _pfmix(h2)
+    h1 = (h1 + h2) & _PMASK
+    return h1 - (1 << 64) if h1 >= (1 << 63) else h1
+
+
+def minhash_signature_oracle(tokens: list[str], seed: int, size: int, bit: int) -> bytes:
+    """Slow reference implementation: FIXED-width packed signature bytes."""
+    mins = [(1 << 63) - 1] * size
+    for t in tokens:
+        data = t.encode("utf-16-le")
+        for i in range(size):
+            h = murmur3_x64_128_h1(data, seed + i)
+            if h < mins[i]:
+                mins[i] = h
+    nbits = size * bit
+    out = bytearray((nbits + 7) // 8)
+    p = 0
+    for m in mins:
+        for b in range(bit):
+            if (m >> b) & 1:
+                out[p // 8] |= 1 << (p % 8)
+            p += 1
+    return bytes(out)

@@ -1,0 +1,192 @@
+"""Kernel unit tests: golden vectors (MinHashPluginTest.java:163-170),
+oracle equivalence, packing quirks, property tests. No Spark involved."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from minhash_spark import kernel
+from minhash_spark.tokenize import char_shingles, word_shingles, word_tokens
+
+# (tokens, seed, size, bit, expected_base64) — the six golden vectors,
+# MinHashPluginTest.java:163-170; configs :79-89.
+GOLDEN = [
+    (["test", "1"], 0, 128, 1, "Uji99jenq7da3aNKTYc8yQ=="),
+    (["test", "1"], 1000, 128, 1, "fUkN7K0iiMHp1MxiGXnIaw=="),
+    (["test", "1"], 1000, 32, 2, "W51pEPuK8tw="),
+    (["test", "2"], 0, 128, 1, "AGB9/Yen+yf/lBvJKtMdQA=="),
+    (["test", "2"], 1000, 128, 1, "8ShNb6UVCgPh16yxOd2Lew=="),
+    (["test", "2"], 1000, 32, 2, "i11gJHsY/zw="),
+]
+
+
+@pytest.mark.parametrize("tokens,seed,size,bit,expected", GOLDEN)
+def test_golden_vectors_vectorized(tokens, seed, size, bit, expected):
+    mins = kernel.minhash_mins([tokens], seed=seed, size=size)
+    packed = kernel.pack_bbit(mins, bit=bit)
+    assert kernel.to_base64(packed[0].tobytes()) == expected
+
+
+@pytest.mark.parametrize("tokens,seed,size,bit,expected", GOLDEN)
+def test_golden_vectors_oracle(tokens, seed, size, bit, expected):
+    sig = kernel.minhash_signature_oracle(tokens, seed, size, bit)
+    assert kernel.to_base64(sig) == expected
+
+
+def test_fixture_tokenizer_exact():
+    # standard tokenizer on the fixture corpus (MinHashPluginTest.java:153-157)
+    assert word_tokens("test 1") == ["test", "1"]
+    assert word_tokens("test 99") == ["test", "99"]
+
+
+def test_bit_string_encoding():
+    # bit_string:true renders MSB-first per byte (MinHashFieldMapper.java:273-274)
+    sig = bytes([0b00000001, 0b10000000])
+    assert kernel.to_bit_string(sig) == "0000000110000000"
+
+
+def test_trailing_zero_truncation():
+    assert kernel.strip_trailing_zeros(b"\x01\x00\x02\x00\x00") == b"\x01\x00\x02"
+    assert kernel.strip_trailing_zeros(b"\x00\x00") == b""
+
+
+def test_empty_doc_is_long_max():
+    mins = kernel.minhash_mins([[]], seed=0, size=8)
+    assert (mins == kernel.LONG_MAX).all()
+
+
+def test_order_and_multiplicity_invariance():
+    a = kernel.minhash_mins([["x", "y", "z"]], seed=7, size=32)
+    b = kernel.minhash_mins([["z", "y", "x", "x", "y"]], seed=7, size=32)
+    assert (a == b).all()
+
+
+def test_vectorized_equals_oracle_random():
+    rng = random.Random(42)
+    alphabet = ["foo", "bar", "x", "Ünïcode", "日本語", "emoji_\U0001F600", "", "a" * 40, "tail7chars"]
+    docs = []
+    for _ in range(25):
+        docs.append([rng.choice(alphabet) for _ in range(rng.randint(1, 8))])
+    docs.append([])
+    for seed, size, bit in [(0, 16, 1), (1000, 8, 2), (123456, 5, 3), (-7, 4, 1)]:
+        mins = kernel.minhash_mins(docs, seed=seed, size=size)
+        packed = kernel.pack_bbit(mins, bit=bit)
+        for i, toks in enumerate(docs):
+            expect = kernel.minhash_signature_oracle(toks, seed, size, bit)
+            assert packed[i].tobytes() == expect, (toks, seed, size, bit)
+
+
+def test_hash_tokens_matches_oracle_per_seed():
+    seeds = kernel._seed_longs(999, 5)
+    toks = ["alpha", "béta", "0123456789abcdef", "x" * 17]
+    h = kernel.hash_tokens(toks, seeds)
+    for i, t in enumerate(toks):
+        for j in range(5):
+            assert h[i, j] == kernel.murmur3_x64_128_h1(t.encode("utf-16-le"), 999 + j)
+
+
+def test_compare_identity_and_estimator():
+    mins = kernel.minhash_mins([["a", "b", "c"], ["a", "b", "c"]], seed=0, size=128)
+    p = kernel.pack_bbit(mins, bit=1)
+    assert kernel.compare(p[0].tobytes(), p[1].tobytes()) == 1.0
+    # b-bit estimator: disjoint sets, bit=1 -> E[bit match] ~ 0.5
+    mins2 = kernel.minhash_mins([[f"a{i}" for i in range(200)], [f"b{i}" for i in range(200)]], seed=0, size=2048)
+    p2 = kernel.pack_bbit(mins2, bit=1)
+    m = kernel.compare(p2[0].tobytes(), p2[1].tobytes())
+    assert 0.42 <= m <= 0.58
+    assert kernel.estimate_jaccard(m, 1) < 0.17
+
+
+def test_estimator_tracks_true_jaccard():
+    # J = 1/3 overlap (shared 100 of 300-total union)
+    a = [f"s{i}" for i in range(100)] + [f"a{i}" for i in range(100)]
+    b = [f"s{i}" for i in range(100)] + [f"b{i}" for i in range(100)]
+    mins = kernel.minhash_mins([a, b], seed=0, size=4096)
+    p = kernel.pack_bbit(mins, bit=1)
+    est = kernel.estimate_jaccard(kernel.compare(p[0].tobytes(), p[1].tobytes()), 1)
+    assert abs(est - 1 / 3) < 0.06
+
+
+def test_band_keys_shape_and_identity():
+    mins = kernel.minhash_mins([["q", "w"], ["q", "w"], ["zz"]], seed=0, size=128)
+    bk = kernel.band_keys(mins, num_bands=32, rows_per_band=4)
+    assert bk.shape == (3, 32)
+    assert (bk[0] == bk[1]).all()
+    assert (bk[0] != bk[2]).any()
+    # band index folded in: a doc's bands differ from each other (w.h.p.)
+    assert len(set(bk[0].tolist())) == 32
+
+
+def test_band_keys_bounds():
+    mins = kernel.minhash_mins([["q"]], seed=0, size=8)
+    with pytest.raises(ValueError):
+        kernel.band_keys(mins, num_bands=4, rows_per_band=3)
+
+
+def test_simhash_properties():
+    s = kernel.simhash64([["a", "b", "c"], ["a", "b", "c"], ["zzz", "qqq"]])
+    assert s[0] == s[1]
+    assert s[0] != s[2]
+
+
+def test_shinglers():
+    assert char_shingles("ab  cd", k=3) == ["ab ", "b c", " cd"]
+    assert char_shingles("ab", k=3) == ["ab"]
+    assert char_shingles("   ", k=3) == []
+    assert word_shingles("a b c d", n=2) == ["a b", "b c", "c d"]
+    assert word_shingles("a b", n=3) == ["a b"]
+
+
+def test_char_shingle_fast_path_equals_string_path():
+    texts = [
+        "def foo():  return 1\n\nclass Bar: pass",
+        "def foo():  return 2\n\nclass Bar: pass",
+        "short",
+        "",
+        "   ",
+        "exactly16chars!!",
+        "日本語テキストのサンプルですよ、こんにちは世界",
+    ]
+    fast = kernel.minhash_mins_char_shingle(texts, k=9, seed=1000, size=64)
+    slow = kernel.minhash_mins([char_shingles(t, 9) for t in texts], seed=1000, size=64)
+    assert (fast == slow).all()
+
+
+def test_char_shingle_fast_path_duplicate_texts_equal_sig():
+    texts = ["a b c d e f g h i j" * 5] * 3 + ["something else entirely different"]
+    fast = kernel.minhash_mins_char_shingle(texts, k=9, seed=0, size=128)
+    assert (fast[0] == fast[1]).all() and (fast[1] == fast[2]).all()
+    assert (fast[0] != fast[3]).any()
+
+
+def test_oph_identity_and_discrimination():
+    docs = [["a", "b", "c", "d"], ["d", "c", "b", "a", "a"], [f"z{i}" for i in range(50)], []]
+    m = kernel.oph_mins(docs, size=64, seed=0)
+    assert (m[0] == m[1]).all()          # order/multiplicity invariant
+    assert (m[0] != m[2]).any()
+    assert (m[3] == kernel.LONG_MAX).all()
+    # no empty bins after densification (docs 0-2 nonempty)
+    assert (m[:3] != kernel.LONG_MAX).all()
+
+
+def test_oph_char_shingle_matches_string_path():
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "the quick brown fox jumps over the lazy dog " * 3,
+             "totally different content here with other words entirely"]
+    a = kernel.oph_mins_char_shingle(texts, k=9, size=64, seed=7)
+    b = kernel.oph_mins([char_shingles(t, 9) for t in texts], size=64, seed=7)
+    assert (a == b).all()
+    assert (a[0] == a[1]).all()
+    assert (a[0] != a[2]).any()
+
+
+def test_oph_jaccard_estimator():
+    # J = 1/3: estimate via fraction of equal OPH slots
+    a = [f"s{i}" for i in range(100)] + [f"a{i}" for i in range(100)]
+    b = [f"s{i}" for i in range(100)] + [f"b{i}" for i in range(100)]
+    m = kernel.oph_mins([a, b], size=1024, seed=0)
+    est = float((m[0] == m[1]).mean())
+    assert abs(est - 1 / 3) < 0.08
