@@ -248,6 +248,139 @@ def minhash_mins(
     return _segment_min(uhash, tok_ids, counts)
 
 
+class _ShingleBatch:
+    """Whitespace-normalized texts packed into ONE contiguous uint16 buffer of
+    UTF-16LE code units, with per-doc offsets. Shingles of a doc are the
+    sliding windows of k units; they are never materialized — hashes are
+    computed from shifted slices of the buffer.
+
+    Docs shorter than k units yield exactly one zero-padded-to-k window
+    (matching ``tokenize.char_shingles``: whole normalized text, one shingle);
+    to keep slice arithmetic uniform the buffer pads every doc's end with k
+    zero units, and only valid window starts are enumerated in ``starts``.
+    """
+
+    __slots__ = ("buf", "starts", "counts", "short_len", "k")
+
+    def __init__(self, texts: list[str], k: int):
+        import re
+
+        ws = re.compile(r"\s+")
+        self.k = k
+        n_docs = len(texts)
+        encoded: list[bytes] = []
+        self.counts = np.zeros(n_docs, dtype=np.int64)
+        self.short_len = np.zeros(n_docs, dtype=np.int64)  # >0 marks short docs
+        unit_off = 0
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        for i, t in enumerate(texts):
+            norm = ws.sub(" ", t.strip())
+            b = norm.encode("utf-16-le")
+            encoded.append(b)
+            offsets[i] = unit_off
+            units = len(b) // 2
+            unit_off += units + k  # k zero-pad units after every doc
+            if units == 0:
+                continue
+            if units <= k:
+                self.counts[i] = 1
+                self.short_len[i] = units * 2
+            else:
+                self.counts[i] = units - k + 1
+        self.buf = np.zeros(unit_off + 8, dtype="<u2")
+        for i, b in enumerate(encoded):
+            if b:
+                self.buf[offsets[i] : offsets[i] + len(b) // 2] = np.frombuffer(b, dtype="<u2")
+        starts = np.empty(int(self.counts.sum()), dtype=np.int64)
+        pos = 0
+        for i in range(n_docs):
+            c = int(self.counts[i])
+            if c:
+                starts[pos : pos + c] = offsets[i] + np.arange(c)
+                pos += c
+        self.starts = starts
+
+    def bytelens(self) -> np.ndarray:
+        """Per-window murmur input byte length (2k, or 2*units for short docs)."""
+        out = np.full(len(self.starts), 2 * self.k, dtype=np.int64)
+        if (self.short_len > 0).any():
+            doc_of = np.repeat(np.arange(len(self.counts)), self.counts)
+            sl = self.short_len[doc_of]
+            out = np.where(sl > 0, sl, out)
+        return out
+
+    def window_string(self, start: int, bytelen: int) -> str:
+        units = bytelen // 2
+        raw = self.buf[start : start + units].tobytes()
+        return raw.decode("utf-16-le", "surrogatepass")
+
+
+def _window_hashes_seed0(
+    batch: _ShingleBatch, chunk: int = 1 << 21
+) -> tuple[np.ndarray, np.ndarray]:
+    """murmur3_x64_128 (seed 0) h1+h2 lanes for every window of the batch,
+    computed from shifted slices of the contiguous buffer (no gather).
+
+    Zero-padding beyond a doc's content is correct: murmur input is the
+    window's bytes zero-extended to full 16-byte blocks, and the XOR block
+    fold treats padded-zero lanes as no-ops; short docs get their true byte
+    length in the finalization, so results equal hashing the decoded string.
+    """
+    k = batch.k
+    n = len(batch.starts)
+    h1o = np.empty(n, dtype=np.uint64)
+    h2o = np.empty(n, dtype=np.uint64)
+    bytelen_all = batch.bytelens()
+    nblocks = (2 * k) // 16  # full blocks for a k-unit window
+    buf64 = batch.buf.astype(np.uint64)
+    for lo in range(0, n, chunk):
+        s = batch.starts[lo : lo + chunk]
+        blen = bytelen_all[lo : lo + chunk]
+        with np.errstate(over="ignore"):
+            h1 = np.zeros(len(s), dtype=np.uint64)
+            h2 = np.zeros(len(s), dtype=np.uint64)
+
+            # uint64 lane from up to 4 consecutive uint16 units at window
+            # offset u. Units at or past k belong to the NEXT window (doc
+            # content, not padding) and are masked out — murmur treats the
+            # window as its bytes zero-extended to full 16-byte blocks, and
+            # short docs' buffers are genuinely zero there, so masking at k
+            # reproduces exact per-window hashing for both cases.
+            def lane(u: int) -> np.ndarray:
+                acc = np.zeros(len(s), dtype=np.uint64)
+                for c in range(4):
+                    if u + c < k:
+                        acc |= buf64[s + u + c] << np.uint64(16 * c)
+                return acc
+
+            for j in range(nblocks):
+                k1 = _rotl(lane(8 * j) * _C1, 31) * _C2
+                h1 ^= k1
+                h1 = _rotl(h1, 27) + h2
+                h1 = h1 * _M5 + _A1
+                k2 = _rotl(lane(8 * j + 4) * _C2, 33) * _C1
+                h2 ^= k2
+                h2 = _rotl(h2, 31) + h1
+                h2 = h2 * _M5 + _A2
+            # tail block (zero-padded to 16 bytes; no-op if empty)
+            if 8 * nblocks < k:
+                h1 ^= _rotl(lane(8 * nblocks) * _C1, 31) * _C2
+            if 8 * nblocks + 4 < k:
+                h2 ^= _rotl(lane(8 * nblocks + 4) * _C2, 33) * _C1
+            ln = blen.astype(np.uint64)
+            h1 ^= ln
+            h2 ^= ln
+            h1 = h1 + h2
+            h2 = h2 + h1
+            h1 = _fmix64(h1)
+            h2 = _fmix64(h2)
+            o1 = h1 + h2
+            o2 = h2 + o1
+        h1o[lo : lo + chunk] = o1
+        h2o[lo : lo + chunk] = o2
+    return h1o, h2o
+
+
 def minhash_mins_char_shingle(
     texts: list[str],
     k: int = 9,
@@ -262,30 +395,11 @@ def minhash_mins_char_shingle(
     string path remains the exactness oracle). Semantics match
     ``tokenize.char_shingles`` for BMP text (code units == code points).
     """
-    import re
-
-    ws = re.compile(r"\s+")
     n_docs = len(texts)
-    wins: list[np.ndarray] = []
-    counts = np.zeros(n_docs, dtype=np.int64)
-    for i, t in enumerate(texts):
-        norm = ws.sub(" ", t.strip())
-        if not norm:
-            continue
-        u = np.frombuffer(norm.encode("utf-16-le"), dtype="<u2")
-        if len(u) <= k:
-            w = np.zeros((1, k), dtype=np.uint16)
-            w[0, : len(u)] = u
-        else:
-            w = np.lib.stride_tricks.sliding_window_view(u, k)
-        wins.append(w)
-        counts[i] = len(w)
-    if not wins:
+    batch = _ShingleBatch(texts, k)
+    if len(batch.starts) == 0:
         return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
-    allw = np.concatenate(wins)
-    del wins
-    # 128-bit dedup key per window (seed 0, both lanes)
-    h1, h2 = _hash_blocks_u16(allw, k)
+    h1, h2 = _window_hashes_seed0(batch)
     order = np.lexsort((h2, h1))
     h1s, h2s = h1[order], h2[order]
     new = np.empty(len(order), dtype=bool)
@@ -295,65 +409,13 @@ def minhash_mins_char_shingle(
     tok_ids = np.empty(len(order), dtype=np.int64)
     tok_ids[order] = gid_sorted
     rep_rows = order[new]  # first window per unique shingle
-    uniq_w = allw[rep_rows]
-    del allw
-    # short texts were zero-padded to k units; zero-trim for exact byte length
-    uniq_tokens = _u16_rows_to_strings(uniq_w)
+    bytelens = batch.bytelens()
+    uniq_tokens = [batch.window_string(int(batch.starts[r]), int(bytelens[r])) for r in rep_rows]
     seeds = _seed_longs(seed, size)
     uhash = np.empty((len(uniq_tokens), size), dtype=np.int64)
     for lo in range(0, len(uniq_tokens), token_chunk):
         uhash[lo : lo + token_chunk] = hash_tokens(uniq_tokens[lo : lo + token_chunk], seeds)
-    return _segment_min(uhash, tok_ids, counts)
-
-
-def _u16_rows_to_strings(rows: np.ndarray) -> list[str]:
-    """Decode (n, k) uint16 rows to Python strings (surrogatepass; trailing
-    NULs — short-text padding — stripped)."""
-    out = []
-    raw = rows.astype("<u2").tobytes()
-    k = rows.shape[1]
-    for i in range(rows.shape[0]):
-        s = raw[i * 2 * k : (i + 1) * 2 * k].decode("utf-16-le", "surrogatepass")
-        out.append(s.rstrip("\x00"))
-    return out
-
-
-def _hash_blocks_u16(rows: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """murmur3_x64_128 (seed 0) h1+h2 lanes for each row of a (n, k) uint16
-    matrix interpreted as UTF-16LE bytes of length 2k. Used as a dedup key."""
-    n = rows.shape[0]
-    bytelen = 2 * k
-    nblocks = bytelen // 16
-    pad_units = (nblocks + 1) * 8  # uint16 units incl. tail block
-    buf = np.zeros((n, pad_units), dtype="<u2")
-    buf[:, :k] = rows
-    lanes = buf.view("<u8")
-    k1 = np.ascontiguousarray(lanes[:, 0::2])
-    k2 = np.ascontiguousarray(lanes[:, 1::2])
-    with np.errstate(over="ignore"):
-        k1p = _rotl(k1 * _C1, 31) * _C2
-        k2p = _rotl(k2 * _C2, 33) * _C1
-        h1 = np.zeros(n, dtype=np.uint64)
-        h2 = np.zeros(n, dtype=np.uint64)
-        for j in range(nblocks):
-            h1 ^= k1p[:, j]
-            h1 = _rotl(h1, 27) + h2
-            h1 = h1 * _M5 + _A1
-            h2 ^= k2p[:, j]
-            h2 = _rotl(h2, 31) + h1
-            h2 = h2 * _M5 + _A2
-        h1 = h1 ^ k1p[:, nblocks]
-        h2 = h2 ^ k2p[:, nblocks]
-        ln = np.uint64(bytelen)
-        h1 = h1 ^ ln
-        h2 = h2 ^ ln
-        h1 = h1 + h2
-        h2 = h2 + h1
-        h1 = _fmix64(h1)
-        h2 = _fmix64(h2)
-        out1 = h1 + h2
-        out2 = h2 + out1
-    return out1, out2
+    return _segment_min(uhash, tok_ids, batch.counts)
 
 
 # ---------------------------------------------------------------------------
@@ -428,29 +490,12 @@ def oph_mins_char_shingle(texts: list[str], k: int = 9, size: int = 128, seed: i
     """OPH fast path for char shingles: windows hashed once (h1 lane, seed 0),
     no dedup or per-seed re-hash needed — cost is O(total_shingles), not
     O(unique_shingles x size). This is the intended kernel at 100 TB."""
-    import re
-
-    ws = re.compile(r"\s+")
     n_docs = len(texts)
-    wins: list[np.ndarray] = []
-    counts = np.zeros(n_docs, dtype=np.int64)
-    for i, t in enumerate(texts):
-        norm = ws.sub(" ", t.strip())
-        if not norm:
-            continue
-        u = np.frombuffer(norm.encode("utf-16-le"), dtype="<u2")
-        if len(u) <= k:
-            w = np.zeros((1, k), dtype=np.uint16)
-            w[0, : len(u)] = u
-        else:
-            w = np.lib.stride_tricks.sliding_window_view(u, k)
-        wins.append(w)
-        counts[i] = len(w)
-    if not wins:
+    batch = _ShingleBatch(texts, k)
+    if len(batch.starts) == 0:
         return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
-    allw = np.concatenate(wins)
-    h1, _h2 = _hash_blocks_u16(allw, k)
-    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    h1, _h2 = _window_hashes_seed0(batch)
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), batch.counts)
     return _oph_from_pairs(h1.view(np.int64), doc_ids, n_docs, size, seed)
 
 
