@@ -1,0 +1,60 @@
+"""Stage P4-P5: LSH banding -> bucket table -> candidate pairs, skew-managed.
+
+Design (SURVEY §2.3, §4.3):
+  * band keys were already computed inside the signature UDF from the FULL
+    64-bit minima (random-pair bucket collision ~2^-64 — what keeps candidate
+    volume ~linear at 10^12 rows; banding over the b-bit signature would
+    collide at 2^-b*r and explode quadratically);
+  * buckets = posexplode(bands); the band index is folded into the key, so a
+    single long column shuffles/joins;
+  * candidate pairs = native self-equi-join of the bucket table on band_hash
+    with id ordering — whole-stage-codegen JVM path, AQE skew-join eligible;
+  * skew control BEFORE the join: bucket sizes are counted (one cheap agg);
+    buckets above ``max_bucket_size`` are dropped from pair generation and
+    LOGGED (metrics), never silently — boilerplate shingles (license headers)
+    otherwise create 10^6-member buckets => 10^12 intra-bucket pairs.
+    Dropped buckets lose only pairs whose every shared band is oversized;
+    near-dup pairs share many independent bands, so recall impact is
+    measured (tests) rather than assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_buckets(signatures: DataFrame) -> DataFrame:
+    """(content_sha256, rep_id, bands) -> (band_hash, rep_id)."""
+    return signatures.select(
+        F.col("rep_id"), F.explode(F.col("bands")).alias("band_hash")
+    )
+
+
+def bucket_stats(buckets: DataFrame) -> DataFrame:
+    return buckets.groupBy("band_hash").agg(F.count("*").alias("bucket_size"))
+
+
+def candidate_pairs(
+    buckets: DataFrame,
+    max_bucket_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (pairs, overflow_stats).
+
+    pairs: distinct (a_id, b_id) with a_id < b_id from same-bucket co-occurrence.
+    overflow_stats: per-bucket sizes of the buckets excluded by the cap.
+    """
+    sizes = bucket_stats(buckets)
+    overflow = sizes.where(F.col("bucket_size") > max_bucket_size)
+    ok = buckets.join(
+        F.broadcast(overflow.select("band_hash")), "band_hash", "left_anti"
+    )
+    a = ok.alias("a")
+    b = ok.alias("b")
+    pairs = (
+        a.join(b, on="band_hash")
+        .where(F.col("a.rep_id") < F.col("b.rep_id"))
+        .select(F.col("a.rep_id").alias("a_id"), F.col("b.rep_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs, overflow

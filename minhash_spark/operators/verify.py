@@ -1,0 +1,60 @@
+"""Stage P6: candidate-pair verification.
+
+Two-tier (SURVEY §2.3 P6):
+  1. cheap prefilter on the stored signatures — b-bit bit-match fraction
+     (MinHash.compare semantics, SURVEY §2.1.6) inverted to a Jaccard
+     estimate; pairs far below threshold never touch content. Joining two
+     16-byte signatures is ~100x cheaper than joining two contents.
+  2. exact token-set Jaccard over the SAME tokenizer config for survivors.
+
+Both tiers are Arrow-batched; the only per-pair Python is set intersection
+inside the pandas UDF on the (small) surviving candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minhash_spark.config import MinHashConfig
+from minhash_spark.functions.udfs import jaccard_udf, sig_bitmatch_udf
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    contents: DataFrame,
+    cfg: MinHashConfig,
+) -> DataFrame:
+    """(a_id, b_id) -> (a_id, b_id, jaccard) with jaccard >= cfg.verify_threshold.
+
+    ``signatures``: (rep_id, sig) — 16-byte payloads, joined to EVERY candidate.
+    ``contents``: (rep_id, content) — joined only to prefilter SURVIVORS, so
+    full text never shuffles for pairs the signature estimate already rejects.
+    """
+    sigs = signatures.select("rep_id", "sig")
+    bitmatch = sig_bitmatch_udf()
+    jac = jaccard_udf(cfg)
+
+    est_min = cfg.verify_threshold - cfg.sig_prefilter_margin
+    q = 2.0 ** (-cfg.bit)
+    # bit-match p estimates J + (1-J)/2^b  =>  required p >= est_min*(1-q)+q
+    p_min = est_min * (1.0 - q) + q
+    joined = pairs.join(
+        sigs.select(F.col("rep_id").alias("a_id"), F.col("sig").alias("sig_a")), "a_id"
+    ).join(sigs.select(F.col("rep_id").alias("b_id"), F.col("sig").alias("sig_b")), "b_id")
+    survivors = (
+        joined.withColumn("bit_match", bitmatch(F.col("sig_a"), F.col("sig_b")))
+        .where(F.col("bit_match") >= F.lit(p_min))
+        .select("a_id", "b_id")
+    )
+    with_content = survivors.join(
+        contents.select(F.col("rep_id").alias("a_id"), F.col("content").alias("content_a")), "a_id"
+    ).join(
+        contents.select(F.col("rep_id").alias("b_id"), F.col("content").alias("content_b")), "b_id"
+    )
+    return (
+        with_content.withColumn("jaccard", jac(F.col("content_a"), F.col("content_b")))
+        .where(F.col("jaccard") >= F.lit(cfg.verify_threshold))
+        .select("a_id", "b_id", "jaccard")
+    )

@@ -1,0 +1,121 @@
+"""The end-to-end dedup pipeline (north rule): files -> signatures -> buckets
+-> candidate pairs -> verified edges -> clusters, checkpointed + resumable.
+
+Stage graph (each node a checkpoint table with a lineage manifest):
+
+    files ──> signatures ──> buckets ──> edges ──> clusters ──> clusters_all
+                    │                      ▲
+                    └──────── verify ──────┘
+
+Resume: a stage whose manifest matches (config_hash + upstream snapshot ids)
+is skipped (SURVEY §2.3 P8). Per-row invariant: content_sha256 flows from the
+input scan into clusters_all untouched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minhash_spark.config import MinHashConfig
+from minhash_spark.operators import components, lsh, signatures, verify
+from minhash_spark.sources.io import TableIO
+
+
+@dataclass
+class StageResult:
+    name: str
+    skipped: bool
+    rows: int
+
+
+class DedupPipeline:
+    """Batch near-duplicate detection + clustering over a files table."""
+
+    T_SIG = "signatures"
+    T_BUCKETS = "buckets"
+    T_EDGES = "edges"
+    T_CLUSTERS = "clusters"
+    T_CLUSTERS_ALL = "clusters_all"
+
+    def __init__(self, spark: SparkSession, io: TableIO, cfg: MinHashConfig):
+        self.spark = spark
+        self.io = io
+        self.cfg = cfg.validate()
+        self.chash = cfg.config_hash()
+        self.stages: list[StageResult] = []
+
+    # -- stages ---------------------------------------------------------
+    def _run_stage(self, name: str, upstream: list[str], build, **write_kw) -> DataFrame:
+        if self.io.is_fresh(name, self.chash, upstream):
+            m = self.io.manifest(name)
+            self.stages.append(StageResult(name, True, m["rows"]))
+            return self.io.read(self.spark, name)
+        df, metrics = build()
+        m = self.io.write(df, name, self.chash, upstream, extra_metrics=metrics, **write_kw)
+        self.stages.append(StageResult(name, False, m["rows"]))
+        return self.io.read(self.spark, name)
+
+    def run(self, files: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        def build_signatures():
+            with_id = signatures.with_identity(files)
+            reps = signatures.distinct_contents(with_id)
+            sigs = signatures.compute_signatures(reps, cfg)
+            return sigs, {}
+
+        sigs = self._run_stage(self.T_SIG, [], build_signatures)
+
+        def build_buckets():
+            return lsh.explode_buckets(sigs), {}
+
+        buckets = self._run_stage(self.T_BUCKETS, [self.T_SIG], build_buckets)
+
+        def build_edges():
+            pairs, overflow = lsh.candidate_pairs(buckets, cfg.max_bucket_size)
+            over_rows = overflow.collect()
+            metrics = {
+                "overflow_buckets": len(over_rows),
+                "overflow_members": int(sum(r["bucket_size"] for r in over_rows)),
+                "max_bucket_size_cap": cfg.max_bucket_size,
+            }
+            contents = signatures.with_identity(files).select(
+                F.col("file_id").alias("rep_id"), "content"
+            )
+            edges = verify.verify_pairs(pairs, sigs, contents, cfg)
+            return edges, metrics
+
+        edges = self._run_stage(self.T_EDGES, [self.T_SIG, self.T_BUCKETS], build_edges)
+
+        def build_clusters():
+            e = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+            comp = components.connected_components(e)
+            # singletons: representatives with no verified edge
+            singles = (
+                sigs.select(F.col("rep_id").alias("node"))
+                .join(comp.select("node"), "node", "left_anti")
+                .withColumn("component", F.col("node"))
+            )
+            clusters = comp.unionByName(singles).select(
+                F.col("node").alias("rep_id"), F.col("component").alias("cluster_id")
+            )
+            return clusters, {}
+
+        clusters = self._run_stage(self.T_CLUSTERS, [self.T_EDGES], build_clusters)
+
+        def build_clusters_all():
+            # expand representative clusters back to every file (exact dups
+            # rejoin via content_sha256); per-row invariant column preserved.
+            with_id = signatures.with_identity(files)
+            rep_map = sigs.select("content_sha256", "rep_id").join(clusters, "rep_id")
+            out = with_id.select("file_id", "repo", "path", "commit", "lang", "content_sha256").join(
+                rep_map.select("content_sha256", "cluster_id"), "content_sha256"
+            )
+            return out, {}
+
+        return self._run_stage(
+            self.T_CLUSTERS_ALL, [self.T_SIG, self.T_CLUSTERS], build_clusters_all
+        )
