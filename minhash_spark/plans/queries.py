@@ -1,0 +1,453 @@
+"""Driver-facing query suite over the sandbox tables (documents, embeddings).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; ``ORACLES`` maps
+query names to DuckDB-equivalent ANSI SQL (same column names & values) for
+the driver's side-by-side correctness gate. Queries whose results depend on
+signature bytes (not SQL-computable) have no oracle — their byte-exactness is
+pinned by the golden-vector pytest suite instead.
+
+Design note: the near-dup queries run the REAL pipeline operators (signature
+UDF -> LSH band join -> bit-match prefilter -> exact-Jaccard verify -> CC);
+because verification is exact, the oracle is plain brute-force Jaccard SQL —
+the LSH stage only has to reach recall 1.0 on the corpus, which 32x4 bands
+give with P(miss) <= (1-0.8^4)^32 ~ 5e-8 per pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from minhash_spark.config import MinHashConfig
+from minhash_spark.functions.udfs import (
+    jaccard_udf,
+    minhash_b64_udf,
+    sig_bitmatch_udf,
+    simhash_udf,
+)
+from minhash_spark.operators import components, lsh, verify
+
+# near-dup config for the documents table: 3-gram word shingles (word salads
+# share too many unigrams; trigrams separate planted dups from noise cleanly)
+DOC_CFG = MinHashConfig(
+    seed=0,
+    size=128,
+    bit=1,
+    tokenizer="word_shingle",
+    tokenizer_params={"n": 3},
+    num_bands=32,
+    rows_per_band=4,
+    verify_threshold=0.8,
+    sig_prefilter_margin=0.3,
+)
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for"]
+LANG_MARKERS = {
+    "en": ["the", "and"],
+    "de": ["der", "und"],
+    "fr": ["le", "et"],
+    "es": ["el", "y"],
+    "zh": ["de", "shi"],
+}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# signature / dedup queries (pipeline operators on the documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17/P3: exact-duplicate groups by content sha256."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_sha256", F.sha2(F.col("text"), 256))
+        .groupBy("content_sha256")
+        .agg(F.min("doc_id").alias("cluster_id"), F.count("*").alias("n_members"))
+    )
+
+
+def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17: pairs of byte-identical documents (term-query-on-signature analog)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "sha", F.sha2(F.col("text"), 256)
+    )
+    a = docs.select(F.col("sha"), F.col("doc_id").alias("a_id"))
+    b = docs.select(F.col("sha"), F.col("doc_id").alias("b_id"))
+    return (
+        a.join(b, "sha")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from minhash_spark.functions.udfs import minhash_struct_udf
+
+    sig = minhash_struct_udf(DOC_CFG)
+    sigs = docs.select(
+        F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s")
+    ).select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
+    buckets = lsh.explode_buckets(sigs)
+    pairs, _overflow = lsh.candidate_pairs(buckets, DOC_CFG.max_bucket_size)
+    contents = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("content"))
+    return verify.verify_pairs(pairs, sigs, contents, DOC_CFG)
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash->LSH->verify pipeline; jaccard is EXACT (verified), so the
+    oracle is brute-force shingle-Jaccard SQL."""
+    e = _near_dup_edges(spark, sf_dir)
+    return e.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.col("jaccard"),
+    )
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: connected components over verified near-dup edges (+ singletons)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    e = _near_dup_edges(spark, sf_dir).select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    )
+    comp = components.connected_components(e)
+    out = docs.join(
+        comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")),
+        "doc_id",
+        "left",
+    )
+    return out.select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("long").alias("cluster_id")
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-encoded base64 signatures (surface parity; byte-exactness is
+    golden-tested). No SQL oracle: minhash is not computable in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    b64 = minhash_b64_udf(DOC_CFG)
+    return docs.select("doc_id", b64(F.col("text")).alias("sig_b64"))
+
+
+def q_minhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 field-collapse analog: one representative doc per distinct signature.
+    No oracle: near-identical docs may legitimately share a signature."""
+    docs = load(spark, sf_dir, "documents")
+    b64 = minhash_b64_udf(DOC_CFG)
+    return (
+        docs.select("doc_id", b64(F.col("text")).alias("sig_b64"))
+        .groupBy("sig_b64")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension: 64-bit SimHash, candidates via 4x16-bit band equality
+    (guarantees recall 1.0 for hamming distance <= 3), verified by exact
+    Jaccard at 0.8. Values SQL-checkable in principle but simhash is not
+    DuckDB-computable -> rows-only."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = simhash_udf(DOC_CFG)
+    s = docs.select("doc_id", sh(F.col("text")).alias("simhash"))
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    near = cand.withColumn("hamming", hamming).where(F.col("hamming") <= 3)
+    docs_a = docs.select(F.col("doc_id").alias("a_id"), F.col("text").alias("content_a"))
+    docs_b = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("content_b"))
+    jac = jaccard_udf(DOC_CFG)
+    return (
+        near.join(docs_a, "a_id")
+        .join(docs_b, "b_id")
+        .withColumn("jaccard", jac(F.col("content_a"), F.col("content_b")))
+        .where(F.col("jaccard") >= 0.8)
+        .select("a_id", "b_id", "hamming", "jaccard")
+    )
+
+
+def q_char_ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-9-gram shingle near-dups (the source-code configuration exercised
+    on the documents table). rows-only: same non-SQL-expressible kernel."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cfg = MinHashConfig(
+        seed=0,
+        size=128,
+        bit=1,
+        tokenizer="char_shingle",
+        tokenizer_params={"k": 9},
+        num_bands=32,
+        rows_per_band=4,
+        verify_threshold=0.8,
+    )
+    from minhash_spark.functions.udfs import minhash_struct_udf
+
+    sig = minhash_struct_udf(cfg)
+    sigs = docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s")).select(
+        "rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands")
+    )
+    buckets = lsh.explode_buckets(sigs)
+    pairs, _ = lsh.candidate_pairs(buckets, cfg.max_bucket_size)
+    contents = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("content"))
+    return verify.verify_pairs(pairs, sigs, contents, cfg).select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.col("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analytics (training-data pipeline ops; pure native expressions)
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.col("text")).cast("long").alias("n_chars_actual"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristics, all native."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    non_alnum = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (F.length("text") / n_tokens).alias("chars_per_token"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (non_alnum.cast("double") / F.length("text")).alias("punct_ratio"),
+    )
+
+
+def q_lang_marker_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word counts per language family (n-gram language-ID heuristic,
+    expressed natively so the oracle is the same arithmetic)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    cols = [F.col("doc_id"), F.col("lang")]
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        cols.append(
+            F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("long").alias(f"score_{lang}")
+        )
+    return docs.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10 (baseline ANN).
+    Embeddings are cast to double BEFORE any arithmetic so float32 products
+    are exact and the oracle's summation order cannot matter at 4dp."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = q.crossJoin(F.broadcast(emb).alias("e")).where(F.col("query_id") != F.col("vec_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos_sim"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (scale path): 12 signed projections -> bucket key;
+    top-5 within bucket. rows-only (bucketing not SQL-expressible); recall vs
+    brute force is asserted in pytest."""
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((12, 64)).tolist()
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(c)) for c in plane])
+        proj = F.aggregate(F.zip_with(F.col("v"), arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bucket = bucket + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
+    b = emb.withColumn("bucket", bucket)
+    q = b.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    cand = q.join(b.alias("e"), "bucket").where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), _cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting & multimodal plumbing (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints (Schleimer et al. 2003): min window hash
+    per sliding window of w=8 shingle hashes; returns per-doc fingerprint
+    count and xor-fold (compact lineage id)."""
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_shingles", T.LongType()),
+                T.StructField("n_fingerprints", T.LongType()),
+                T.StructField("fp_xor", T.LongType()),
+            ]
+        )
+    )
+    def _fp(texts: pd.Series) -> pd.DataFrame:
+        from minhash_spark import kernel
+
+        batch = kernel._ShingleBatch(texts.fillna("").astype(str).tolist(), 9)
+        n = len(texts)
+        ns = np.zeros(n, dtype=np.int64)
+        nf = np.zeros(n, dtype=np.int64)
+        fx = np.zeros(n, dtype=np.int64)
+        if len(batch.starts):
+            h1, _ = kernel._window_hashes_seed0(batch)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(batch.counts, out=offs[1:])
+            for d in range(n):
+                hs = h1[offs[d] : offs[d + 1]].view(np.int64)
+                ns[d] = len(hs)
+                if len(hs) == 0:
+                    continue
+                w = 8
+                if len(hs) <= w:
+                    fps = np.array([hs.min()])
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(hs, w)
+                    fps = np.unique(win.min(axis=1))
+                nf[d] = len(fps)
+                fx[d] = np.bitwise_xor.reduce(fps)
+        return pd.DataFrame({"n_shingles": ns, "n_fingerprints": nf, "fp_xor": fx})
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", _fp(F.col("text")).alias("f")).select(
+        "doc_id",
+        F.col("f.n_shingles").alias("n_shingles"),
+        F.col("f.n_fingerprints").alias("n_fingerprints"),
+        F.col("f.fp_xor").alias("fp_xor"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text bytes stand in for an opaque media
+    blob (binary column + typed metadata); feature extraction runs through
+    mapInPandas with a DETERMINISTIC STUB decoder (real image/audio libs are
+    not installed in this sandbox — the Spark-side schema/batching/partition
+    plumbing is the real, tested part)."""
+
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            blobs = pdf["blob"]
+            n_bytes = blobs.map(len)
+            feats = []
+            for b in blobs:
+                # STUB decode: a real implementation would decode the media
+                # and pool model features; here a deterministic 4-dim moment
+                # vector of the raw bytes keeps the plumbing testable.
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                if len(a) == 0:
+                    feats.append([0.0, 0.0, 0.0, 0.0])
+                else:
+                    feats.append(
+                        [float(a.mean()), float(a.std()), float(a.min()), float(a.max())]
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bytes": n_bytes, "feature": feats}
+            )
+
+    return docs.mapInPandas(extract, schema=schema)
