@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline workload is the full dedup pipeline (signatures -> LSH -> verify
+-> connected components -> cluster expansion) over the planted source-code
+corpus at bench scale (FIXTURES.md §3: 5000 clusters + 50000 singletons,
+~330 MB — synthesized deterministically and cached), plus the driver-table
+query suite. ``--pipeline-only`` runs just the pipeline and emits its own JSON
+(used by tools/bench_scaling.py for the N-vs-4N scaling evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "67108864")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "data")
+CORPUS_SPEC = {"n_clusters": 5000, "n_singletons": 50000, "seed": 42}
+
+
+def ensure_bench_corpus(spark) -> str:
+    """Deterministic planted corpus, generated once and cached as parquet."""
+    tag = f"corpus_b_{CORPUS_SPEC['n_clusters']}_{CORPUS_SPEC['n_singletons']}_{CORPUS_SPEC['seed']}"
+    path = os.path.join(BENCH_DATA, tag)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from minhash_spark.sources.fixtures import corpus_b
+
+    files, _pairs, _clusters = corpus_b(**CORPUS_SPEC)
+    os.makedirs(BENCH_DATA, exist_ok=True)
+    spark.createDataFrame(files).repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_pipeline(spark, corpus_path: str) -> dict:
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.plans.pipeline import DedupPipeline
+    from minhash_spark.sources.io import TableIO
+
+    cfg = MinHashConfig(
+        seed=0,
+        size=128,
+        bit=1,
+        tokenizer="char_shingle",
+        tokenizer_params={"k": 9},
+        num_bands=32,
+        rows_per_band=4,
+        verify_threshold=0.8,
+    )
+    ckpt = f"/tmp/minhash_bench_ckpt_{os.getpid()}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    files = spark.read.parquet(corpus_path)
+    n_files = files.count()
+    t0 = time.time()
+    out = DedupPipeline(spark, TableIO(ckpt), cfg).run(files)
+    n_out = out.count()
+    n_clusters = out.select("cluster_id").distinct().count()
+    wall = time.time() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "wall_s": round(wall, 2),
+        "files": n_files,
+        "files_per_sec": round(n_files / wall, 1),
+        "rows_out": n_out,
+        "clusters": n_clusters,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    pipeline_only = "--pipeline-only" in sys.argv
+
+    from minhash_spark.session import build_session
+
+    spark = build_session(app_name="minhash-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = ensure_bench_corpus(spark)
+
+    if pipeline_only:
+        res = run_pipeline(spark, corpus_path)
+        res["cpus"] = int(cpus)
+        print(json.dumps(res))
+        spark.stop()
+        return
+
+    from minhash_spark.plans import queries as Q
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 2)
+
+    pipe_res = run_pipeline(spark, corpus_path)
+    timings["dedup_pipeline_planted"] = pipe_res["wall_s"]
+
+    timed("near_dup_pairs_docs", lambda: Q.q_near_dup_pairs(spark, sf_dir).count())
+    timed("near_dup_clusters_docs", lambda: Q.q_near_dup_clusters(spark, sf_dir).count())
+    timed("char_ngram_dup_pairs_docs", lambda: Q.q_char_ngram_dup_pairs(spark, sf_dir).count())
+    timed("exact_dup_clusters_docs", lambda: Q.q_exact_dup_clusters(spark, sf_dir).count())
+    timed("minhash_signatures_docs", lambda: Q.q_minhash_signatures(spark, sf_dir).count())
+    timed("simhash_pairs_docs", lambda: Q.q_simhash_near_dup_pairs(spark, sf_dir).count())
+    timed("embedding_topk", lambda: Q.q_embedding_topk(spark, sf_dir).count())
+    timed("quality_scores_docs", lambda: Q.q_quality_scores(spark, sf_dir).count())
+    timed("doc_fingerprints_docs", lambda: Q.q_doc_fingerprints(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "pipeline": pipe_res,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,9 +34,20 @@ class MinHashConfig:
     verify_threshold: float = 0.8     # exact-Jaccard acceptance
     sig_prefilter_margin: float = 0.15  # cheap b-bit estimate filter: keep est >= thr - margin
 
-    # skew handling: buckets larger than this are capped (pairs beyond the cap
-    # per bucket are truncated WITH a logged metric, SURVEY §2.3 P5)
-    max_bucket_size: int = 2000
+    # skew handling (SURVEY §2.3 P5): buckets larger than this switch from
+    # all-pairs to star topology (members pair with the bucket min only),
+    # keeping candidate volume linear under boilerplate-shingle skew while
+    # preserving cluster connectivity through the representative
+    max_bucket_size: int = 64
+
+    # boilerplate-shingle filter (char_shingle only): estimate shingle
+    # document frequency on a deterministic sample; shingles present in
+    # >= common_df_ratio of sampled docs are excluded from minima, band keys
+    # AND verification Jaccard. THE fix for license-header LSH skew.
+    filter_common_shingles: bool = False
+    common_df_ratio: float = 0.5
+    common_sample_docs: int = 100_000
+    common_max_shingles: int = 1_000_000
 
     # null handling (MinHashFieldMapper.java:89-90,260-269)
     null_value: str | None = None

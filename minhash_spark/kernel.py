@@ -37,6 +37,25 @@ import struct
 
 import numpy as np
 
+
+def _tune_malloc() -> None:
+    """This sandbox faults-in fresh mmap pages at ~30 MB/s; glibc munmaps
+    >32MB allocations on free, so big NumPy temporaries would re-fault every
+    batch. Raising the malloc thresholds keeps the worker heap warm — after
+    the first batch, steady-state allocation is ~6 GB/s. Runs in every
+    process that imports the kernel (driver AND reused pyspark workers)."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 29)  # M_MMAP_THRESHOLD = 512 MB
+        libc.mallopt(-1, (1 << 31) - 1)  # M_TRIM_THRESHOLD: never trim
+    except Exception:  # pragma: no cover - non-glibc platforms
+        pass
+
+
+_tune_malloc()
+
 LONG_MAX = np.int64(0x7FFFFFFFFFFFFFFF)
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -101,20 +120,20 @@ def _seed_longs(seed: int, size: int) -> np.ndarray:
     return s.astype(np.int64).view(np.uint64)
 
 
-def hash_tokens(tokens: list[str], seeds: np.ndarray) -> np.ndarray:
-    """murmur3_x64_128 h1 lane of each token under each seed.
+def _fold_seeds(
+    k1p: np.ndarray, k2p: np.ndarray, nblocks: np.ndarray, bytelen: np.ndarray, seeds: np.ndarray
+) -> np.ndarray:
+    """Seed-dependent murmur fold over pre-mixed block lanes.
 
-    Returns (n_tokens, n_seeds) int64 (signed, as Java ``HashCode.asLong()``).
+    k1p/k2p: (n, max_blocks) pre-mixed lanes, tail at column nblocks[i].
+    Returns (n, n_seeds) int64 h1 lanes.
     """
-    n, k = len(tokens), len(seeds)
-    if n == 0:
-        return np.empty((0, k), dtype=np.int64)
-    k1p, k2p, nblocks, bytelen = _premix_blocks(tokens)
-    max_nb = int(nblocks.max())
+    n, k = k1p.shape[0], len(seeds)
+    max_nb = int(nblocks.max()) if n else 0
     h1 = np.broadcast_to(seeds, (n, k)).copy()
     h2 = h1.copy()
     with np.errstate(over="ignore"):
-        # full blocks (seed-dependent fold; sequential over block index)
+        # full blocks (sequential over block index)
         for j in range(max_nb):
             alive = nblocks > j
             if not alive.all():
@@ -149,6 +168,17 @@ def hash_tokens(tokens: list[str], seeds: np.ndarray) -> np.ndarray:
     return h1.view(np.int64)
 
 
+def hash_tokens(tokens: list[str], seeds: np.ndarray) -> np.ndarray:
+    """murmur3_x64_128 h1 lane of each token under each seed.
+
+    Returns (n_tokens, n_seeds) int64 (signed, as Java ``HashCode.asLong()``).
+    """
+    if len(tokens) == 0:
+        return np.empty((0, len(seeds)), dtype=np.int64)
+    k1p, k2p, nblocks, bytelen = _premix_blocks(tokens)
+    return _fold_seeds(k1p, k2p, nblocks, bytelen, seeds)
+
+
 # ---------------------------------------------------------------------------
 # per-document minima over (possibly shared) token vocabularies
 # ---------------------------------------------------------------------------
@@ -160,13 +190,15 @@ def _segment_min(
     """Per-document column-wise min over rows of ``uhash`` selected by
     ``tok_ids`` (concatenated per doc; ``counts[d]`` ids for doc d).
 
-    Memory-bound core; two tricks keep traffic low:
-      * rank compression — per seed, replace int64 hash values by their sort
-        rank (uint16/uint32); min over ranks == min over values, then map the
-        winning rank back. 4x (or 2x) less gather traffic than raw int64.
-      * docs are bucketed by token count (sorted) and padded to the bucket
-        max with their own first token (min is idempotent), so the reduction
-        is a fully-SIMD ``min(axis=1)`` over a dense cube, not ``reduceat``.
+    Adaptive, memory-bound core:
+      * SMALL docs (<=64 tokens): bucket by token count, pad to the bucket max
+        with the doc's own first token (no-op under min), reduce a dense
+        (docs, w, size) cube with SIMD ``min(axis=1)``. When the batch
+        vocabulary fits uint16, gather sort-RANKS instead of int64 values
+        (4x less traffic), then map the winning ranks back.
+      * LARGE docs: per-doc gather + min. Each op touches (count, size) ~ a
+        few MB — under the malloc mmap threshold, so the worker heap is
+        reused and page faults are paid once per worker, not per batch.
 
     Returns (n_docs, size) int64; rows with count==0 are LONG_MAX.
     """
@@ -176,17 +208,32 @@ def _segment_min(
     if len(tok_ids) == 0:
         return mins
     n_uniq = uhash.shape[0]
-    rank_dtype = np.uint16 if n_uniq <= 0xFFFF else np.uint32
-    order = np.argsort(uhash, axis=0, kind="stable")
-    sorted_vals = np.take_along_axis(uhash, order, axis=0)
-    ranks = np.empty((n_uniq, size), dtype=rank_dtype)
-    arange = np.arange(n_uniq, dtype=rank_dtype)[:, None]
-    np.put_along_axis(ranks, order, np.broadcast_to(arange, (n_uniq, size)), axis=0)
 
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    nonempty = np.flatnonzero(counts > 0)
-    by_count = nonempty[np.argsort(counts[nonempty], kind="stable")]
+    small = np.flatnonzero((counts > 0) & (counts <= 64))
+    large = np.flatnonzero(counts > 64)
+
+    # -- large docs: straightforward per-doc gather+min (SIMD inner dim) -----
+    for d in large:
+        ids = tok_ids[offsets[d] : offsets[d + 1]]
+        mins[d] = uhash[ids].min(axis=0)
+
+    if len(small) == 0:
+        return mins
+
+    # -- small docs: dense cube; rank compression when vocab fits uint16 ----
+    use_ranks = n_uniq <= 0xFFFF
+    if use_ranks:
+        order = np.argsort(uhash, axis=0, kind="stable")
+        sorted_vals = np.take_along_axis(uhash, order, axis=0)
+        ranks = np.empty((n_uniq, size), dtype=np.uint16)
+        arange = np.arange(n_uniq, dtype=np.uint16)[:, None]
+        np.put_along_axis(ranks, order, np.broadcast_to(arange, (n_uniq, size)), axis=0)
+        table = ranks
+    else:
+        table = uhash
+    by_count = small[np.argsort(counts[small], kind="stable")]
     cols = np.arange(size)
     for i in range(0, len(by_count), docs_per_chunk):
         sel = by_count[i : i + docs_per_chunk]
@@ -196,9 +243,12 @@ def _segment_min(
             c = counts[d]
             ids[r, :c] = tok_ids[offsets[d] : offsets[d] + c]
             ids[r, c:] = ids[r, 0]  # pad with own token: no-op under min
-        g = ranks[ids.ravel()].reshape(len(sel), w, size)
-        mr = g.min(axis=1).astype(np.intp)
-        mins[sel] = sorted_vals[mr, cols[None, :]]
+        g = table[ids.ravel()].reshape(len(sel), w, size)
+        m = g.min(axis=1)
+        if use_ranks:
+            mins[sel] = sorted_vals[m.astype(np.intp), cols[None, :]]
+        else:
+            mins[sel] = m
     return mins
 
 
@@ -260,7 +310,7 @@ class _ShingleBatch:
     zero units, and only valid window starts are enumerated in ``starts``.
     """
 
-    __slots__ = ("buf", "starts", "counts", "short_len", "k")
+    __slots__ = ("buf", "starts", "counts", "short_len", "k", "_buf64")
 
     def __init__(self, texts: list[str], k: int):
         import re
@@ -287,6 +337,7 @@ class _ShingleBatch:
                 self.short_len[i] = units * 2
             else:
                 self.counts[i] = units - k + 1
+        self._buf64 = None
         self.buf = np.zeros(unit_off + 8, dtype="<u2")
         for i, b in enumerate(encoded):
             if b:
@@ -299,6 +350,11 @@ class _ShingleBatch:
                 starts[pos : pos + c] = offsets[i] + np.arange(c)
                 pos += c
         self.starts = starts
+
+    def buf_u64(self) -> np.ndarray:
+        if self._buf64 is None:
+            self._buf64 = self.buf.astype(np.uint64)
+        return self._buf64
 
     def bytelens(self) -> np.ndarray:
         """Per-window murmur input byte length (2k, or 2*units for short docs)."""
@@ -332,7 +388,7 @@ def _window_hashes_seed0(
     h2o = np.empty(n, dtype=np.uint64)
     bytelen_all = batch.bytelens()
     nblocks = (2 * k) // 16  # full blocks for a k-unit window
-    buf64 = batch.buf.astype(np.uint64)
+    buf64 = batch.buf_u64()
     for lo in range(0, n, chunk):
         s = batch.starts[lo : lo + chunk]
         blen = bytelen_all[lo : lo + chunk]
@@ -387,6 +443,7 @@ def minhash_mins_char_shingle(
     seed: int = 0,
     size: int = 128,
     token_chunk: int = 1 << 12,
+    exclude_sorted: np.ndarray | None = None,
 ) -> np.ndarray:
     """Fast path for char-shingle MinHash: shingles are sliding windows of k
     UTF-16 code units over whitespace-normalized text, never materialized as
@@ -394,12 +451,26 @@ def minhash_mins_char_shingle(
     of each window via lexsort (collision odds ~n^2/2^129 — negligible; the
     string path remains the exactness oracle). Semantics match
     ``tokenize.char_shingles`` for BMP text (code units == code points).
+
+    ``exclude_sorted``: optional SORTED int64 array of boilerplate shingle
+    hashes (h1 lane, seed 0) to drop before minima — the document-frequency
+    skew filter (shared license headers would otherwise correlate band
+    minima across unrelated files).
     """
     n_docs = len(texts)
     batch = _ShingleBatch(texts, k)
     if len(batch.starts) == 0:
         return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
     h1, h2 = _window_hashes_seed0(batch)
+    if exclude_sorted is not None and len(exclude_sorted):
+        keep = ~_in_sorted(h1.view(np.int64), exclude_sorted)
+        if not keep.all():
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), batch.counts)
+            h1, h2 = h1[keep], h2[keep]
+            batch.starts = batch.starts[keep]
+            batch.counts = np.bincount(doc_of[keep], minlength=n_docs)
+            if len(batch.starts) == 0:
+                return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
     order = np.lexsort((h2, h1))
     h1s, h2s = h1[order], h2[order]
     new = np.empty(len(order), dtype=bool)
@@ -410,12 +481,58 @@ def minhash_mins_char_shingle(
     tok_ids[order] = gid_sorted
     rep_rows = order[new]  # first window per unique shingle
     bytelens = batch.bytelens()
-    uniq_tokens = [batch.window_string(int(batch.starts[r]), int(bytelens[r])) for r in rep_rows]
+    rep_starts = batch.starts[rep_rows]
+    rep_blens = bytelens[rep_rows]
     seeds = _seed_longs(seed, size)
-    uhash = np.empty((len(uniq_tokens), size), dtype=np.int64)
-    for lo in range(0, len(uniq_tokens), token_chunk):
-        uhash[lo : lo + token_chunk] = hash_tokens(uniq_tokens[lo : lo + token_chunk], seeds)
+    n_uniq = len(rep_rows)
+    uhash = np.empty((n_uniq, size), dtype=np.int64)
+    for lo in range(0, n_uniq, token_chunk):
+        hi = min(lo + token_chunk, n_uniq)
+        k1p, k2p, nb, bl = _premix_windows_u16(batch, rep_starts[lo:hi], rep_blens[lo:hi])
+        uhash[lo:hi] = _fold_seeds(k1p, k2p, nb, bl, seeds)
     return _segment_min(uhash, tok_ids, batch.counts)
+
+
+def _premix_windows_u16(
+    batch: _ShingleBatch, starts: np.ndarray, bytelens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Seed-independent murmur block premix for windows addressed directly in
+    the batch buffer (no Python-string materialization).
+
+    Lane components at or past the shingle width k are masked (neighboring
+    doc content); short docs' buffers are zero beyond their content, so for
+    them the same mask yields exact zero-extension. A short window has
+    nblocks = bytelen//16 (its lanes double as the tail block at column 0).
+    """
+    k = batch.k
+    n = len(starts)
+    nb_full = (2 * k) // 16
+    buf64 = batch.buf_u64()
+    k1p = np.zeros((n, nb_full + 1), dtype=np.uint64)
+    k2p = np.zeros((n, nb_full + 1), dtype=np.uint64)
+
+    def lane(u: int) -> np.ndarray:
+        acc = np.zeros(n, dtype=np.uint64)
+        for c in range(4):
+            if u + c < k:
+                acc |= buf64[starts + u + c] << np.uint64(16 * c)
+        return acc
+
+    with np.errstate(over="ignore"):
+        for j in range(nb_full + 1):
+            l1 = lane(8 * j)
+            l2 = lane(8 * j + 4)
+            k1p[:, j] = _rotl(l1 * _C1, 31) * _C2
+            k2p[:, j] = _rotl(l2 * _C2, 33) * _C1
+    nblocks = (bytelens // 16).astype(np.int64)
+    return k1p, k2p, nblocks, bytelens.astype(np.int64)
+
+
+def _in_sorted(vals: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership of vals in a sorted array (vectorized searchsorted)."""
+    idx = np.searchsorted(sorted_arr, vals)
+    idx = np.clip(idx, 0, len(sorted_arr) - 1)
+    return sorted_arr[idx] == vals
 
 
 # ---------------------------------------------------------------------------

@@ -41,20 +41,36 @@ def candidate_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (pairs, overflow_stats).
 
-    pairs: distinct (a_id, b_id) with a_id < b_id from same-bucket co-occurrence.
-    overflow_stats: per-bucket sizes of the buckets excluded by the cap.
+    pairs: distinct (a_id, b_id), a_id < b_id.
+      * buckets <= ``max_bucket_size``: all intra-bucket pairs via native
+        self-equi-join (whole-stage codegen; AQE skew-join eligible);
+      * larger buckets: STAR topology — every member pairs only with the
+        bucket's min id. Boilerplate buckets (shared license headers make a
+        band's minima identical across unrelated files) otherwise emit
+        O(n^2) candidates; the star keeps genuine giant near-dup clusters
+        connected through their representative at O(n) candidates, and the
+        (cheap) failed verifications of noise-bucket star edges replace the
+        (quadratic) ones. Nothing is silently dropped; star buckets are
+        reported in overflow_stats.
+    overflow_stats: (band_hash, bucket_size) of buckets handled as stars.
     """
     sizes = bucket_stats(buckets)
     overflow = sizes.where(F.col("bucket_size") > max_bucket_size)
-    ok = buckets.join(
-        F.broadcast(overflow.select("band_hash")), "band_hash", "left_anti"
-    )
+    over_keys = F.broadcast(overflow.select("band_hash"))
+    ok = buckets.join(over_keys, "band_hash", "left_anti")
     a = ok.alias("a")
     b = ok.alias("b")
-    pairs = (
+    pairs_small = (
         a.join(b, on="band_hash")
         .where(F.col("a.rep_id") < F.col("b.rep_id"))
         .select(F.col("a.rep_id").alias("a_id"), F.col("b.rep_id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
     )
+    big = buckets.join(over_keys, "band_hash", "left_semi")
+    reps = big.groupBy("band_hash").agg(F.min("rep_id").alias("rep"))
+    pairs_star = (
+        big.join(reps, "band_hash")
+        .where(F.col("rep_id") != F.col("rep"))
+        .select(F.col("rep").alias("a_id"), F.col("rep_id").alias("b_id"))
+    )
+    pairs = pairs_small.unionByName(pairs_star).dropDuplicates(["a_id", "b_id"])
     return pairs, overflow

@@ -38,12 +38,12 @@ def distinct_contents(files_with_id: DataFrame) -> DataFrame:
     )
 
 
-def compute_signatures(reps: DataFrame, cfg: MinHashConfig) -> DataFrame:
+def compute_signatures(reps: DataFrame, cfg: MinHashConfig, exclude_sorted=None) -> DataFrame:
     """representatives -> (content_sha256, rep_id, sig, sig_b64, bands).
 
     Narrow map stage; the only process boundary is the Arrow batch transfer
     into the kernel UDF."""
-    sig = minhash_struct_udf(cfg)
+    sig = minhash_struct_udf(cfg, exclude_sorted=exclude_sorted)
     return reps.select(
         "content_sha256",
         "rep_id",

@@ -25,6 +25,7 @@ def verify_pairs(
     signatures: DataFrame,
     contents: DataFrame,
     cfg: MinHashConfig,
+    exclude_sorted=None,
 ) -> DataFrame:
     """(a_id, b_id) -> (a_id, b_id, jaccard) with jaccard >= cfg.verify_threshold.
 
@@ -34,7 +35,7 @@ def verify_pairs(
     """
     sigs = signatures.select("rep_id", "sig")
     bitmatch = sig_bitmatch_udf()
-    jac = jaccard_udf(cfg)
+    jac = jaccard_udf(cfg, exclude_sorted=exclude_sorted)
 
     est_min = cfg.verify_threshold - cfg.sig_prefilter_margin
     q = 2.0 ** (-cfg.bit)

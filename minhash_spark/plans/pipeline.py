@@ -58,16 +58,53 @@ class DedupPipeline:
         self.stages.append(StageResult(name, False, m["rows"]))
         return self.io.read(self.spark, name)
 
+    T_COMMON = "common_shingles"
+
+    def _hot_shingles(self, files: DataFrame):
+        """Deterministic-sample shingle document frequencies -> sorted int64
+        array of boilerplate hashes (cfg.filter_common_shingles)."""
+        import numpy as np
+
+        from minhash_spark.functions.udfs import distinct_window_hashes_udf
+
+        cfg = self.cfg
+
+        def build_common():
+            n = files.count()
+            d = max(1, n // cfg.common_sample_docs)
+            sample = files.where(F.pmod(F.abs(F.hash("content")), F.lit(d)) == 0)
+            n_sample = sample.count()
+            thr = max(2, int(cfg.common_df_ratio * n_sample))
+            hudf = distinct_window_hashes_udf(cfg)
+            dfreq = (
+                sample.select(F.explode(hudf(F.col("content"))).alias("h"))
+                .groupBy("h")
+                .agg(F.count("*").alias("df"))
+                .where(F.col("df") >= thr)
+                .orderBy(F.col("df").desc())
+                .limit(cfg.common_max_shingles)
+            )
+            return dfreq, {"sample_docs": n_sample, "df_threshold": thr}
+
+        hot_df = self._run_stage(self.T_COMMON, [], build_common)
+        hot = np.sort(np.array([r["h"] for r in hot_df.collect()], dtype=np.int64))
+        return hot
+
     def run(self, files: DataFrame) -> DataFrame:
         cfg = self.cfg
+        exclude = None
+        if cfg.filter_common_shingles and cfg.tokenizer == "char_shingle":
+            exclude = self._hot_shingles(files)
 
         def build_signatures():
             with_id = signatures.with_identity(files)
             reps = signatures.distinct_contents(with_id)
-            sigs = signatures.compute_signatures(reps, cfg)
-            return sigs, {}
+            sigs = signatures.compute_signatures(reps, cfg, exclude_sorted=exclude)
+            return sigs, {"excluded_shingles": 0 if exclude is None else int(len(exclude))}
 
-        sigs = self._run_stage(self.T_SIG, [], build_signatures)
+        sigs = self._run_stage(
+            self.T_SIG, [self.T_COMMON] if exclude is not None else [], build_signatures
+        )
 
         def build_buckets():
             return lsh.explode_buckets(sigs), {}
@@ -85,7 +122,7 @@ class DedupPipeline:
             contents = signatures.with_identity(files).select(
                 F.col("file_id").alias("rep_id"), "content"
             )
-            edges = verify.verify_pairs(pairs, sigs, contents, cfg)
+            edges = verify.verify_pairs(pairs, sigs, contents, cfg, exclude_sorted=exclude)
             return edges, metrics
 
         edges = self._run_stage(self.T_EDGES, [self.T_SIG, self.T_BUCKETS], build_edges)
