@@ -27,8 +27,8 @@ class MinHashConfig:
     tokenizer_params: dict = field(default_factory=dict)
 
     # LSH banding over the full 64-bit minima (SURVEY §2.3 P4)
-    num_bands: int = 32
-    rows_per_band: int = 4
+    num_bands: int = 21
+    rows_per_band: int = 6
 
     # candidate verification
     verify_threshold: float = 0.8     # exact-Jaccard acceptance
@@ -73,5 +73,5 @@ class MinHashConfig:
 REFERENCE_CONFIGS = {
     "analyzer1": MinHashConfig(seed=0, size=128, bit=1, tokenizer="word"),
     "analyzer2": MinHashConfig(seed=1000, size=128, bit=1, tokenizer="word"),
-    "analyzer3": MinHashConfig(seed=1000, size=32, bit=2, tokenizer="word", num_bands=8),
+    "analyzer3": MinHashConfig(seed=1000, size=32, bit=2, tokenizer="word", num_bands=8, rows_per_band=4),
 }

@@ -44,6 +44,10 @@ def compute_signatures(reps: DataFrame, cfg: MinHashConfig, exclude_sorted=None)
     Narrow map stage; the only process boundary is the Arrow batch transfer
     into the kernel UDF."""
     sig = minhash_struct_udf(cfg, exclude_sorted=exclude_sorted)
+    # AQE coalesces the distinct-contents shuffle to few IO-sized partitions,
+    # which would starve the CPU-bound kernel UDF; spread it back out.
+    par = reps.sparkSession.sparkContext.defaultParallelism
+    reps = reps.repartition(par)
     return reps.select(
         "content_sha256",
         "rep_id",

@@ -41,6 +41,9 @@ def verify_pairs(
     q = 2.0 ** (-cfg.bit)
     # bit-match p estimates J + (1-J)/2^b  =>  required p >= est_min*(1-q)+q
     p_min = est_min * (1.0 - q) + q
+    # materialize candidates once: the bucket self-join + dedup subtree must
+    # not be replanned/recomputed inside the downstream join DAG
+    pairs = pairs.localCheckpoint()
     joined = pairs.join(
         sigs.select(F.col("rep_id").alias("a_id"), F.col("sig").alias("sig_a")), "a_id"
     ).join(sigs.select(F.col("rep_id").alias("b_id"), F.col("sig").alias("sig_b")), "b_id")
@@ -48,11 +51,22 @@ def verify_pairs(
         joined.withColumn("bit_match", bitmatch(F.col("sig_a"), F.col("sig_b")))
         .where(F.col("bit_match") >= F.lit(p_min))
         .select("a_id", "b_id")
+        .localCheckpoint()
     )
-    with_content = survivors.join(
-        contents.select(F.col("rep_id").alias("a_id"), F.col("content").alias("content_a")), "a_id"
-    ).join(
-        contents.select(F.col("rep_id").alias("b_id"), F.col("content").alias("content_b")), "b_id"
+    # survivors are few; AQE would coalesce them onto 1-2 tasks and starve the
+    # CPU-bound exact-Jaccard UDF. Spread pairs across the cluster first.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    with_content = (
+        survivors.repartition(par)
+        .join(
+            contents.select(F.col("rep_id").alias("a_id"), F.col("content").alias("content_a")),
+            "a_id",
+        )
+        .join(
+            contents.select(F.col("rep_id").alias("b_id"), F.col("content").alias("content_b")),
+            "b_id",
+        )
+        .repartition(par)
     )
     return (
         with_content.withColumn("jaccard", jac(F.col("content_a"), F.col("content_b")))
