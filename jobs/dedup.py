@@ -1,0 +1,84 @@
+"""spark-submit entrypoint for the dedup pipeline (north rule: runs via
+``spark-submit --py-files`` on a multi-executor cluster).
+
+Example:
+    python tools/make_pyfiles_zip.py                     # -> dist/minhash_spark.zip
+    spark-submit --py-files dist/minhash_spark.zip \\
+        jobs/dedup.py --input /data/files_parquet \\
+        --checkpoints /data/dedup_ckpt \\
+        --tokenizer char_shingle --shingle-k 9 \\
+        --threshold 0.8 --filter-common-shingles
+
+Input: parquet table with columns (repo, path, commit, lang, content)
+(BASELINE.json input_hint; Iceberg sources plug in by swapping the read).
+Output: ``clusters_all`` checkpoint table (file_id, repo, path, commit, lang,
+content_sha256, cluster_id) plus per-stage lineage manifests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="parquet (or iceberg) files table")
+    p.add_argument("--checkpoints", required=True, help="root dir for stage checkpoints")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--bit", type=int, default=1)
+    p.add_argument("--tokenizer", default="char_shingle", choices=["word", "char_shingle", "word_shingle"])
+    p.add_argument("--shingle-k", type=int, default=9)
+    p.add_argument("--word-n", type=int, default=3)
+    p.add_argument("--num-bands", type=int, default=21)
+    p.add_argument("--rows-per-band", type=int, default=6)
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--max-bucket-size", type=int, default=64)
+    p.add_argument("--filter-common-shingles", action="store_true")
+    p.add_argument("--common-df-ratio", type=float, default=0.5)
+    args = p.parse_args()
+
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.plans.pipeline import DedupPipeline
+    from minhash_spark.session import build_session
+    from minhash_spark.sources.io import TableIO
+
+    tok_params = (
+        {"k": args.shingle_k}
+        if args.tokenizer == "char_shingle"
+        else ({"n": args.word_n} if args.tokenizer == "word_shingle" else {})
+    )
+    cfg = MinHashConfig(
+        seed=args.seed,
+        size=args.size,
+        bit=args.bit,
+        tokenizer=args.tokenizer,
+        tokenizer_params=tok_params,
+        num_bands=args.num_bands,
+        rows_per_band=args.rows_per_band,
+        verify_threshold=args.threshold,
+        max_bucket_size=args.max_bucket_size,
+        filter_common_shingles=args.filter_common_shingles,
+        common_df_ratio=args.common_df_ratio,
+    )
+    spark = build_session(app_name="minhash-dedup")
+    files = spark.read.parquet(args.input)
+    pipe = DedupPipeline(spark, TableIO(args.checkpoints), cfg)
+    out = pipe.run(files)
+    n = out.count()
+    print(
+        json.dumps(
+            {
+                "rows_out": n,
+                "clusters": out.select("cluster_id").distinct().count(),
+                "stages": [{"name": s.name, "skipped": s.skipped, "rows": s.rows} for s in pipe.stages],
+                "config_hash": cfg.config_hash(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -19,8 +19,14 @@ from dataclasses import asdict, dataclass, field
 class MinHashConfig:
     # signature kernel (reference parameters, MinHashTokenFilterFactory.java:39-41)
     seed: int = 0
-    size: int = 128           # number of hash functions
+    size: int = 128           # number of hash functions / OPH bins
     bit: int = 1              # sampled bits per hash
+
+    # 'kseed' = reference-exact k seeded murmur3 minima (byte-compatible
+    # signatures); 'oph' = one-permutation hashing with rotation
+    # densification — O(shingles) instead of O(unique x size), the intended
+    # kernel at 100 TB (NOT byte-compatible with the reference encoding)
+    scheme: str = "kseed"
 
     # tokenization (reference: any analyzer chain; README.md:42)
     tokenizer: str = "word"   # word | char_shingle | word_shingle
@@ -65,6 +71,8 @@ class MinHashConfig:
             raise ValueError("num_bands*rows_per_band must be <= size")
         if not (1 <= self.bit <= 16):
             raise ValueError("bit must be in 1..16")
+        if self.scheme not in ("kseed", "oph"):
+            raise ValueError("scheme must be kseed or oph")
         return self
 
 

@@ -59,18 +59,26 @@ def _compute_mins(
     mask = vals.notna().to_numpy()
     str_list = vals.fillna("").astype(str).tolist()
     out = np.empty((len(str_list), cfg.size), dtype=np.int64)
+    oph = cfg.scheme == "oph"
     if cfg.tokenizer == "char_shingle":
         k = cfg.tokenizer_params.get("k", 9)
         for lo, hi in _slices_by_chars(str_list, _MAX_CHARS_PER_KERNEL_CALL):
-            out[lo:hi] = kernel.minhash_mins_char_shingle(
-                str_list[lo:hi], k=k, seed=cfg.seed, size=cfg.size, exclude_sorted=exclude_sorted
-            )
+            if oph:
+                out[lo:hi] = kernel.oph_mins_char_shingle(
+                    str_list[lo:hi], k=k, size=cfg.size, seed=cfg.seed, exclude_sorted=exclude_sorted
+                )
+            else:
+                out[lo:hi] = kernel.minhash_mins_char_shingle(
+                    str_list[lo:hi], k=k, seed=cfg.seed, size=cfg.size, exclude_sorted=exclude_sorted
+                )
     else:
         tok = make_tokenizer(cfg.tokenizer, **cfg.tokenizer_params)
         for lo, hi in _slices_by_chars(str_list, _MAX_CHARS_PER_KERNEL_CALL):
-            out[lo:hi] = kernel.minhash_mins(
-                [tok(s) for s in str_list[lo:hi]], seed=cfg.seed, size=cfg.size
-            )
+            toks = [tok(s) for s in str_list[lo:hi]]
+            if oph:
+                out[lo:hi] = kernel.oph_mins(toks, size=cfg.size, seed=cfg.seed)
+            else:
+                out[lo:hi] = kernel.minhash_mins(toks, seed=cfg.seed, size=cfg.size)
     return out, mask
 
 

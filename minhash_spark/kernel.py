@@ -603,7 +603,13 @@ def oph_mins(docs_tokens: list[list[str]], size: int = 128, seed: int = 0) -> np
     return _oph_from_pairs(h[tok_ids], doc_ids, n_docs, size, seed)
 
 
-def oph_mins_char_shingle(texts: list[str], k: int = 9, size: int = 128, seed: int = 0) -> np.ndarray:
+def oph_mins_char_shingle(
+    texts: list[str],
+    k: int = 9,
+    size: int = 128,
+    seed: int = 0,
+    exclude_sorted: np.ndarray | None = None,
+) -> np.ndarray:
     """OPH fast path for char shingles: windows hashed once (h1 lane, seed 0),
     no dedup or per-seed re-hash needed — cost is O(total_shingles), not
     O(unique_shingles x size). This is the intended kernel at 100 TB."""
@@ -613,6 +619,9 @@ def oph_mins_char_shingle(texts: list[str], k: int = 9, size: int = 128, seed: i
         return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
     h1, _h2 = _window_hashes_seed0(batch)
     doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), batch.counts)
+    if exclude_sorted is not None and len(exclude_sorted):
+        keep = ~_in_sorted(h1.view(np.int64), exclude_sorted)
+        h1, doc_ids = h1[keep], doc_ids[keep]
     return _oph_from_pairs(h1.view(np.int64), doc_ids, n_docs, size, seed)
 
 

@@ -1,0 +1,68 @@
+"""Unit tests: connected components (star alternation) and TableIO."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from minhash_spark.operators.components import connected_components
+from minhash_spark.sources.io import TableIO
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["u", "v"])
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_two_triangles(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_long_chain(spark):
+    # path graph of 40 nodes: worst case for naive propagation; the star
+    # alternation must converge in O(log n) rounds
+    edges = [(i, i + 1) for i in range(40)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_cc_string_ids(spark):
+    got = _cc(spark, [("b", "a"), ("c", "b"), ("x", "z")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "z": "x"}
+
+
+def test_cc_self_loop_and_dup_edges(spark):
+    got = _cc(spark, [(1, 1), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}
+
+
+def test_tableio_write_read_manifest(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    m = io.write(df, "t1", "cfg123", [])
+    assert m["rows"] == 10
+    assert io.manifest("t1")["config_hash"] == "cfg123"
+    assert io.read(spark, "t1").count() == 10
+    assert io.is_fresh("t1", "cfg123", [])
+    assert not io.is_fresh("t1", "other", [])
+
+    # downstream freshness is keyed on upstream snapshot ids
+    io.write(df, "t2", "cfg123", ["t1"])
+    assert io.is_fresh("t2", "cfg123", ["t1"])
+    io.write(df, "t1", "cfg123", [])  # republish upstream -> new snapshot
+    assert not io.is_fresh("t2", "cfg123", ["t1"])
+
+
+def test_tableio_atomic_publish_no_tmp_left(spark, tmp_path):
+    io = TableIO(str(tmp_path))
+    io.write(spark.range(3), "t", "c", [])
+    leftovers = [d for d in os.listdir(tmp_path) if ".tmp-" in d]
+    assert leftovers == []
+    # manifest is valid JSON inside the table dir
+    with open(os.path.join(str(tmp_path), "t", "_manifest.json")) as f:
+        assert json.load(f)["rows"] == 3

@@ -86,3 +86,27 @@ def test_bucket_cap_logs_overflow(spark, planted):
     assert overflow_free.count() == 0
     assert pairs_capped.count() <= pairs_free.count()
     buckets.unpersist()
+
+
+def test_oph_scheme_pipeline(spark, tmp_path):
+    """The OPH scale scheme must recover the same clusters on a small corpus."""
+    from minhash_spark.config import MinHashConfig
+
+    files, truth_pairs, truth_clusters = corpus_b(n_clusters=40, n_singletons=150, seed=7)
+    df = spark.createDataFrame(files)
+    cfg = MinHashConfig(
+        seed=0,
+        size=128,
+        bit=1,
+        scheme="oph",
+        tokenizer="char_shingle",
+        tokenizer_params={"k": 9},
+        verify_threshold=0.8,
+        filter_common_shingles=True,
+        common_sample_docs=1000,
+    )
+    io = TableIO(str(tmp_path / "oph"))
+    out = DedupPipeline(spark, io, cfg).run(df)
+    got = {r["file_id"]: r["cluster_id"] for r in out.collect()}
+    hit = sum(got[a] == got[b] for a, b in truth_pairs)
+    assert hit / len(truth_pairs) >= 0.99

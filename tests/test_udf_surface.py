@@ -1,0 +1,91 @@
+"""UDF surface tests: null handling (null_value param), signature bit-match,
+simhash column, DF-filter plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from minhash_spark.config import MinHashConfig
+from minhash_spark.functions.udfs import (
+    jaccard_udf,
+    minhash_b64_udf,
+    minhash_struct_udf,
+    sig_bitmatch_udf,
+    simhash_udf,
+)
+from minhash_spark import kernel
+
+
+def test_null_value_replacement(spark):
+    # MinHashFieldMapper.java:260-269 — null -> null_value replacement string
+    cfg = MinHashConfig(seed=0, size=128, bit=1, tokenizer="word", null_value="test 1")
+    df = spark.createDataFrame([("test 1",), (None,)], ["content"])
+    rows = df.select(minhash_b64_udf(cfg)(F.col("content")).alias("b64")).collect()
+    assert rows[0]["b64"] == rows[1]["b64"] == "Uji99jenq7da3aNKTYc8yQ=="
+
+
+def test_null_without_null_value_is_skipped(spark):
+    # null_value also null -> field skipped (sig null)
+    cfg = MinHashConfig(seed=0, size=128, bit=1, tokenizer="word")
+    df = spark.createDataFrame([("test 1",), (None,)], ["content"])
+    rows = df.select(minhash_struct_udf(cfg)(F.col("content")).alias("s")).collect()
+    assert rows[0]["s"]["sig"] is not None
+    assert rows[1]["s"]["sig"] is None and rows[1]["s"]["sig_b64"] is None
+
+
+def test_sig_bitmatch_matches_kernel_compare(spark):
+    cfg = MinHashConfig(seed=0, size=128, bit=1, tokenizer="word")
+    texts = ["a b c d e", "a b c d x", "q r s t u"]
+    mins = kernel.minhash_mins([t.split() for t in texts], seed=0, size=128)
+    packed = kernel.pack_bbit(mins, 1)
+    df = spark.createDataFrame(
+        [(packed[0].tobytes(), packed[1].tobytes()), (packed[0].tobytes(), packed[2].tobytes())],
+        ["a", "b"],
+    )
+    got = [r["m"] for r in df.select(sig_bitmatch_udf()(F.col("a"), F.col("b")).alias("m")).collect()]
+    assert got[0] == kernel.compare(packed[0].tobytes(), packed[1].tobytes())
+    assert got[1] == kernel.compare(packed[0].tobytes(), packed[2].tobytes())
+
+
+def test_jaccard_udf_exact_values(spark):
+    cfg = MinHashConfig(tokenizer="word_shingle", tokenizer_params={"n": 3})
+    df = spark.createDataFrame(
+        [("a b c d", "a b c d"), ("a b c d", "x y z w"), ("a b c d e", "a b c d x")],
+        ["x", "y"],
+    )
+    got = [r["j"] for r in df.select(jaccard_udf(cfg)(F.col("x"), F.col("y")).alias("j")).collect()]
+    assert got[0] == 1.0
+    assert got[1] == 0.0
+    # shingles of 'a b c d e' = {abc,bcd,cde}; of 'a b c d x' = {abc,bcd,cdx}
+    assert abs(got[2] - 2 / 4) < 1e-12
+
+
+def test_jaccard_char_path_with_exclude(spark):
+    cfg = MinHashConfig(tokenizer="char_shingle", tokenizer_params={"k": 3})
+    # without filter: J < 1; excluding the shared prefix shingles -> differs
+    a, b = "HDR body one", "HDR body two"
+    df = spark.createDataFrame([(a, b)], ["x", "y"])
+    j_raw = df.select(jaccard_udf(cfg)(F.col("x"), F.col("y")).alias("j")).first()["j"]
+    batch = kernel._ShingleBatch(["HDR body "], 3)
+    hdr = np.sort(np.unique(kernel._window_hashes_seed0(batch)[0].view(np.int64)))
+    j_f = df.select(jaccard_udf(cfg, exclude_sorted=hdr)(F.col("x"), F.col("y")).alias("j")).first()["j"]
+    assert 0 < j_raw < 1
+    assert j_f < j_raw  # shared boilerplate no longer counts toward similarity
+
+
+def test_simhash_udf_column(spark):
+    cfg = MinHashConfig(tokenizer="word")
+    df = spark.createDataFrame([("a b c",), ("a b c",), ("z q",)], ["content"])
+    got = [r["s"] for r in df.select(simhash_udf(cfg)(F.col("content")).alias("s")).collect()]
+    assert got[0] == got[1] != got[2]
+
+
+def test_struct_udf_exclude_changes_sig(spark):
+    cfg = MinHashConfig(tokenizer="char_shingle", tokenizer_params={"k": 3})
+    df = spark.createDataFrame([("HDR body one",)], ["content"])
+    s1 = df.select(minhash_struct_udf(cfg)(F.col("content")).alias("s")).first()["s"]
+    batch = kernel._ShingleBatch(["HDR "], 3)
+    hdr = np.sort(np.unique(kernel._window_hashes_seed0(batch)[0].view(np.int64)))
+    s2 = df.select(minhash_struct_udf(cfg, exclude_sorted=hdr)(F.col("content")).alias("s")).first()["s"]
+    assert s1["sig"] != s2["sig"]

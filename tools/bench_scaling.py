@@ -1,0 +1,88 @@
+"""Scaling-efficiency evidence (north rule: N -> 4N executors >= 0.8).
+
+No real cluster exists in this sandbox, so the same pipeline job runs at two
+parallelism levels on the same input — local[8] (N) and local[32] (4N) on the
+32-core box — each in a fresh JVM via subprocess. Efficiency =
+(files/s at 32) / (files/s at 8) / 4. Results -> BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def run(cpus: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env.setdefault("MALLOC_MMAP_THRESHOLD_", "67108864")
+    env.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py"), "--pipeline-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    r8 = run(8)
+    print(json.dumps(r8), flush=True)
+    r32 = run(32)
+    print(json.dumps(r32), flush=True)
+    eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
+    md = f"""# BENCH/BASELINE — measured pipeline throughput & scaling
+
+## Workload
+
+Full near-duplicate pipeline (DF boilerplate filter -> exact-dup shortcut ->
+b-bit MinHash signatures (seed=0, size=128, bit=1, char-9 shingles) -> LSH
+21x6 band join with star-capped buckets -> signature-bit-match prefilter ->
+exact-Jaccard verification at 0.8 -> large/small-star connected components ->
+cluster expansion), end to end including all checkpoint writes, over the
+planted source-code corpus of FIXTURES.md §3 at bench scale
+({r8['files']} files, ~330 MB, universal 12-line license header as the skew
+stressor). A small warmup run precedes the measured window so reused Python
+workers pay this sandbox's one-time page-fault warmup outside the timing
+(real clusters amortize that across job lifetime).
+
+## Reference baseline
+
+The reference (codelibs/elasticsearch-minhash) publishes no benchmark numbers
+(BASELINE.md). Its kernel cost model is O(tokens x 128) sequential murmur3
+per document on the indexing thread — about 3-5 docs/s/core for 5 KB files;
+this engine's vectorized kernel sustains ~300-1600 docs/s/core depending on
+vocabulary sharing, before cluster parallelism.
+
+## N -> 4N scaling (sandbox stand-in: local[8] vs local[32], same input)
+
+| parallelism | wall s | files/s |
+|---|---|---|
+| local[8]  (N)  | {r8['wall_s']} | {r8['files_per_sec']} |
+| local[32] (4N) | {r32['wall_s']} | {r32['files_per_sec']} |
+
+**Scaling efficiency = ({r32['files_per_sec']} / {r8['files_per_sec']}) / 4 =
+{eff:.3f}** (target >= 0.8).
+
+## Correctness at this scale
+
+rows_out = {r32['rows_out']}, clusters = {r32['clusters']} (ground truth:
+55,000 = 5,000 planted clusters + 50,000 singletons); pair recall 1.0 is
+asserted at test scale in tests/test_pipeline_planted.py.
+"""
+    (ROOT / "BENCH" / "BASELINE.md").write_text(md)
+    print(f"efficiency={eff:.3f} -> BENCH/BASELINE.md written", flush=True)
+
+
+if __name__ == "__main__":
+    main()
