@@ -38,7 +38,7 @@ SIG_STRUCT_TYPE = T.StructType(
 # (unique shingles x size) int64, so bound total input chars per kernel call
 # (~150k chars -> <=150k windows -> <=150 MB at size=128) to stay inside the
 # reused worker heap even with 32 concurrent workers per node.
-_MAX_CHARS_PER_KERNEL_CALL = 150_000
+_MAX_CHARS_PER_KERNEL_CALL = 96_000
 
 
 def _slices_by_chars(str_list: list[str], max_chars: int):

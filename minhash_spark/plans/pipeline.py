@@ -3,9 +3,8 @@
 
 Stage graph (each node a checkpoint table with a lineage manifest):
 
-    files ──> signatures ──> buckets ──> edges ──> clusters ──> clusters_all
-                    │                      ▲
-                    └──────── verify ──────┘
+    files ──> [common_shingles] ──> signatures ──> edges ──> clusters ──> clusters_all
+              (sampled DF filter)       (buckets + candidates + verify inline)
 
 Resume: a stage whose manifest matches (config_hash + upstream snapshot ids)
 is skipped (SURVEY §2.3 P8). Per-row invariant: content_sha256 flows from the
@@ -35,7 +34,6 @@ class DedupPipeline:
     """Batch near-duplicate detection + clustering over a files table."""
 
     T_SIG = "signatures"
-    T_BUCKETS = "buckets"
     T_EDGES = "edges"
     T_CLUSTERS = "clusters"
     T_CLUSTERS_ALL = "clusters_all"
@@ -106,12 +104,11 @@ class DedupPipeline:
             self.T_SIG, [self.T_COMMON] if exclude is not None else [], build_signatures
         )
 
-        def build_buckets():
-            return lsh.explode_buckets(sigs), {}
-
-        buckets = self._run_stage(self.T_BUCKETS, [self.T_SIG], build_buckets)
-
         def build_edges():
+            # bucket explode is a trivial projection of the signatures
+            # checkpoint — computed inline, not persisted (a checkpoint would
+            # add a write+read of |sigs| x num_bands rows with no resume value)
+            buckets = lsh.explode_buckets(sigs)
             pairs, overflow = lsh.candidate_pairs(buckets, cfg.max_bucket_size)
             over_rows = overflow.collect()
             metrics = {
@@ -125,7 +122,7 @@ class DedupPipeline:
             edges = verify.verify_pairs(pairs, sigs, contents, cfg, exclude_sorted=exclude)
             return edges, metrics
 
-        edges = self._run_stage(self.T_EDGES, [self.T_SIG, self.T_BUCKETS], build_edges)
+        edges = self._run_stage(self.T_EDGES, [self.T_SIG], build_edges)
 
         def build_clusters():
             e = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))

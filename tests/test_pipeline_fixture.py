@@ -124,14 +124,14 @@ def test_pipeline_resume_skips_fresh_stages(spark, files_a, tmp_path):
     c1 = sorted((r["file_id"], r["cluster_id"]) for r in out1.collect())
     assert all(not s.skipped for s in p1.stages)
 
-    # kill downstream: drop edges + clusters, keep signatures + buckets
+    # kill downstream: drop edges + clusters, keep signatures
     io.drop(DedupPipeline.T_EDGES)
     io.drop(DedupPipeline.T_CLUSTERS)
     io.drop(DedupPipeline.T_CLUSTERS_ALL)
     p2 = DedupPipeline(spark, io, cfg)
     out2 = p2.run(files_a)
     skipped = {s.name: s.skipped for s in p2.stages}
-    assert skipped[DedupPipeline.T_SIG] and skipped[DedupPipeline.T_BUCKETS]
+    assert skipped[DedupPipeline.T_SIG]
     assert not skipped[DedupPipeline.T_EDGES]
     c2 = sorted((r["file_id"], r["cluster_id"]) for r in out2.collect())
     assert c1 == c2

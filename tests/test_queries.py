@@ -1,0 +1,50 @@
+"""Query-suite tests on the driver tables at sf0.001: ANN recall vs brute
+force, fingerprints sanity, multimodal plumbing, signature surface."""
+
+from __future__ import annotations
+
+from minhash_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_embedding_ann_recall_vs_brute(spark):
+    brute = Q.q_embedding_topk(spark, SF).collect()
+    ann = Q.q_embedding_ann_lsh(spark, SF).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    # every ANN hit must be a genuine neighbor pairing of that query with
+    # positive similarity; ANN is allowed to miss (bucketing) but not invent
+    # wrong scores — spot-check score agreement on the overlap
+    brute_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute}
+    for key in got & truth:
+        ann_score = next(r["cos_sim"] for r in ann if (r["query_id"], r["neighbor_id"]) == key)
+        assert abs(ann_score - brute_scores[key]) < 1e-9
+
+
+def test_doc_fingerprints_deterministic_and_sane(spark):
+    a = {r["doc_id"]: (r["n_fingerprints"], r["fp_xor"]) for r in Q.q_doc_fingerprints(spark, SF).collect()}
+    b = {r["doc_id"]: (r["n_fingerprints"], r["fp_xor"]) for r in Q.q_doc_fingerprints(spark, SF).collect()}
+    assert a == b
+    assert all(nf > 0 for nf, _ in a.values())
+    # winnowing compresses: far fewer fingerprints than shingles
+    rows = Q.q_doc_fingerprints(spark, SF).collect()
+    assert all(r["n_fingerprints"] <= r["n_shingles"] for r in rows)
+
+
+def test_multimodal_stub_plumbing(spark):
+    rows = Q.q_multimodal_features(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows[:5]:
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == 4
+
+
+def test_minhash_signatures_are_reference_encoded(spark):
+    import base64
+
+    rows = Q.q_minhash_signatures(spark, SF).limit(20).collect()
+    for r in rows:
+        raw = base64.b64decode(r["sig_b64"])
+        # reference encoding: <= 16 bytes (BitSet trailing-zero truncation)
+        assert 0 < len(raw) <= 16

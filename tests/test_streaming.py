@@ -1,0 +1,63 @@
+"""Structured Streaming: incremental signatures match batch kernel output;
+incremental dedup finds cross-batch near-dup pairs exactly once."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from minhash_spark.config import MinHashConfig
+from minhash_spark.streaming.incremental import (
+    run_incremental_dedup,
+    run_incremental_signatures,
+)
+
+CFG = MinHashConfig(
+    seed=1000,
+    size=32,
+    bit=2,
+    tokenizer="word",
+    num_bands=8,
+    rows_per_band=4,
+    verify_threshold=0.9,
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_incremental_signatures_match_golden(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    _write_batch(spark, inp, [("r", "p1", "c", "txt", "test 1")])
+    run_incremental_signatures(spark, inp, out, ckpt, CFG)
+    _write_batch(spark, inp, [("r", "p2", "c", "txt", "test 2")])
+    run_incremental_signatures(spark, inp, out, ckpt, CFG)
+
+    got = {r["path"]: r["sig_b64"] for r in spark.read.parquet(out).collect()}
+    # golden vectors for analyzer3 config (MinHashPluginTest.java:164,167)
+    assert got == {"p1": "W51pEPuK8tw=", "p2": "i11gJHsY/zw="}
+
+
+def test_incremental_dedup_cross_batch_pairs(spark, tmp_path):
+    inp, state, ckpt = (str(tmp_path / d) for d in ("in", "state", "ckpt"))
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = text_a  # identical -> J=1 cross-batch pair
+    text_c = "completely different words nothing shared here at all ok"
+    _write_batch(spark, inp, [("r", "a", "c", "txt", text_a), ("r", "c", "c", "txt", text_c)])
+    run_incremental_dedup(spark, inp, state, ckpt, CFG)
+    _write_batch(spark, inp, [("r", "b", "c", "txt", text_b)])
+    run_incremental_dedup(spark, inp, state, ckpt, CFG)
+
+    edges = spark.read.parquet(os.path.join(state, "edges")).collect()
+    assert len(edges) == 1
+    assert edges[0]["jaccard"] == 1.0
+    sigs = spark.read.parquet(os.path.join(state, "signatures"))
+    assert sigs.count() == 3
+
+    # idempotent drain: nothing new -> no new edges
+    run_incremental_dedup(spark, inp, state, ckpt, CFG)
+    assert spark.read.parquet(os.path.join(state, "edges")).count() == 1
