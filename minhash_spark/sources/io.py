@@ -23,6 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_manifest.json"
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers on the driver (no Spark job — stage
+    publishes should not pay a cluster round-trip for bookkeeping)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 class TableIO:
     def __init__(self, root: str):
         self.root = root
@@ -69,8 +82,7 @@ class TableIO:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        spark = df.sparkSession
-        rows = spark.read.parquet(tmp).count()
+        rows = _parquet_rows(tmp)
         manifest = {
             "snapshot_id": uuid.uuid4().hex,
             "config_hash": config_hash,
