@@ -38,6 +38,10 @@ class MinHashConfig:
 
     # candidate verification
     verify_threshold: float = 0.8     # exact-Jaccard acceptance
+    # optional containment acceptance (|A∩B|/min(|A|,|B|) >= this): catches
+    # near-containment dups (file embedded in a bigger file) that Jaccard
+    # misses — the set-level stand-in for a suffix-array substring check
+    containment_threshold: float | None = None
     sig_prefilter_margin: float = 0.15  # cheap b-bit estimate filter: keep est >= thr - margin
 
     # skew handling (SURVEY §2.3 P5): buckets larger than this switch from

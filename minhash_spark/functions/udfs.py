@@ -177,6 +177,79 @@ def distinct_window_hashes_udf(cfg: MinHashConfig):
     return _udf
 
 
+SIMILARITY_TYPE = T.StructType(
+    [T.StructField("jaccard", T.DoubleType()), T.StructField("containment", T.DoubleType())]
+)
+
+
+def similarity_udf(cfg: MinHashConfig, exclude_sorted: np.ndarray | None = None):
+    """(content_a, content_b) -> struct(jaccard, containment).
+
+    containment = |A∩B| / min(|A|,|B|) over the same shingle sets — the
+    cheap set-level stand-in for the suffix-array substring check (SURVEY
+    §2.3 P6): a file embedded verbatim in a larger one has containment ~1
+    even when Jaccard is low. Same batched hash machinery as jaccard_udf.
+    """
+    cfg.validate()
+    char_path = cfg.tokenizer == "char_shingle"
+    k = cfg.tokenizer_params.get("k", 9) if char_path else None
+    tok = None if char_path else make_tokenizer(cfg.tokenizer, **cfg.tokenizer_params)
+
+    @pandas_udf(SIMILARITY_TYPE)
+    def _udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        n = len(a)
+        jac = np.zeros(n)
+        cont = np.zeros(n)
+        if char_path:
+            texts = a.fillna("").astype(str).tolist() + b.fillna("").astype(str).tolist()
+            text_ids: dict[str, int] = {}
+            idx = np.empty(2 * n, dtype=np.int64)
+            for i, t in enumerate(texts):
+                idx[i] = text_ids.setdefault(t, len(text_ids))
+            uniq_texts = list(text_ids.keys())
+            batch = kernel._ShingleBatch(uniq_texts, k)
+            offs = np.zeros(len(uniq_texts) + 1, dtype=np.int64)
+            np.cumsum(batch.counts, out=offs[1:])
+            h = (
+                kernel._window_hashes_seed0(batch)[0].view(np.int64)
+                if len(batch.starts)
+                else np.empty(0, dtype=np.int64)
+            )
+            uniq = []
+            for d in range(len(uniq_texts)):
+                u = np.unique(h[offs[d] : offs[d + 1]])
+                if exclude_sorted is not None and len(exclude_sorted) and len(u):
+                    u = u[~kernel._in_sorted(u, exclude_sorted)]
+                uniq.append(u)
+            for i in range(n):
+                ua, ub = uniq[idx[i]], uniq[idx[n + i]]
+                if len(ua) == 0 and len(ub) == 0:
+                    jac[i] = cont[i] = 1.0
+                    continue
+                inter = len(np.intersect1d(ua, ub, assume_unique=True))
+                union = len(ua) + len(ub) - inter
+                jac[i] = inter / union if union else 0.0
+                m = min(len(ua), len(ub))
+                cont[i] = inter / m if m else 0.0
+        else:
+            for i in range(n):
+                sa, sb = a.iat[i], b.iat[i]
+                if sa is None or sb is None:
+                    continue
+                ta, tb = set(tok(sa)), set(tok(sb))
+                if not ta and not tb:
+                    jac[i] = cont[i] = 1.0
+                    continue
+                inter = len(ta & tb)
+                union = len(ta | tb)
+                jac[i] = inter / union if union else 0.0
+                m = min(len(ta), len(tb))
+                cont[i] = inter / m if m else 0.0
+        return pd.DataFrame({"jaccard": jac, "containment": cont})
+
+    return _udf
+
+
 def jaccard_udf(cfg: MinHashConfig, exclude_sorted: np.ndarray | None = None):
     """(content_a, content_b) -> exact token-set Jaccard (verification stage).
 

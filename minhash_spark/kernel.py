@@ -372,7 +372,7 @@ class _ShingleBatch:
 
 
 def _window_hashes_seed0(
-    batch: _ShingleBatch, chunk: int = 1 << 21
+    batch: _ShingleBatch, chunk: int = 1 << 16
 ) -> tuple[np.ndarray, np.ndarray]:
     """murmur3_x64_128 (seed 0) h1+h2 lanes for every window of the batch,
     computed from shifted slices of the contiguous buffer (no gather).

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from minhash_spark.config import MinHashConfig
-from minhash_spark.functions.udfs import jaccard_udf, sig_bitmatch_udf
+from minhash_spark.functions.udfs import sig_bitmatch_udf, similarity_udf
 
 
 def verify_pairs(
@@ -35,12 +35,16 @@ def verify_pairs(
     """
     sigs = signatures.select("rep_id", "sig")
     bitmatch = sig_bitmatch_udf()
-    jac = jaccard_udf(cfg, exclude_sorted=exclude_sorted)
+    sim = similarity_udf(cfg, exclude_sorted=exclude_sorted)
 
     est_min = cfg.verify_threshold - cfg.sig_prefilter_margin
     q = 2.0 ** (-cfg.bit)
     # bit-match p estimates J + (1-J)/2^b  =>  required p >= est_min*(1-q)+q
     p_min = est_min * (1.0 - q) + q
+    if cfg.containment_threshold is not None:
+        # containment pairs (small file inside big) can have arbitrarily low
+        # Jaccard, so the signature estimate cannot prefilter them
+        p_min = 0.0
     # materialize candidates once: the bucket self-join + dedup subtree must
     # not be replanned/recomputed inside the downstream join DAG
     pairs = pairs.localCheckpoint()
@@ -68,8 +72,10 @@ def verify_pairs(
         )
         .repartition(par)
     )
-    return (
-        with_content.withColumn("jaccard", jac(F.col("content_a"), F.col("content_b")))
-        .where(F.col("jaccard") >= F.lit(cfg.verify_threshold))
-        .select("a_id", "b_id", "jaccard")
-    )
+    scored = with_content.withColumn(
+        "s", sim(F.col("content_a"), F.col("content_b"))
+    ).select("a_id", "b_id", F.col("s.jaccard").alias("jaccard"), F.col("s.containment").alias("containment"))
+    accept = F.col("jaccard") >= F.lit(cfg.verify_threshold)
+    if cfg.containment_threshold is not None:
+        accept = accept | (F.col("containment") >= F.lit(cfg.containment_threshold))
+    return scored.where(accept)

@@ -89,3 +89,46 @@ def test_struct_udf_exclude_changes_sig(spark):
     hdr = np.sort(np.unique(kernel._window_hashes_seed0(batch)[0].view(np.int64)))
     s2 = df.select(minhash_struct_udf(cfg, exclude_sorted=hdr)(F.col("content")).alias("s")).first()["s"]
     assert s1["sig"] != s2["sig"]
+
+
+def test_similarity_udf_containment(spark):
+    from minhash_spark.functions.udfs import similarity_udf
+    from pyspark.sql import functions as F2
+
+    cfg = MinHashConfig(tokenizer="word")
+    small = "alpha beta gamma delta"
+    big = small + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(small, big)], ["x", "y"])
+    r = df.select(similarity_udf(cfg)(F2.col("x"), F2.col("y")).alias("s")).first()["s"]
+    assert r["containment"] == 1.0           # small fully inside big
+    assert r["jaccard"] < 0.15               # but jaccard is low
+
+
+def test_verify_containment_acceptance(spark):
+    from minhash_spark.operators.verify import verify_pairs
+    from pyspark.sql import functions as F2
+    from minhash_spark import kernel
+
+    cfg = MinHashConfig(
+        tokenizer="char_shingle", tokenizer_params={"k": 5},
+        verify_threshold=0.9, containment_threshold=0.95,
+    )
+    small = "the quick brown fox jumps over the lazy dog again and again"
+    big = small + " " + "totally different suffix content here " * 6
+    mins = kernel.minhash_mins_char_shingle([small, big], k=5, seed=0, size=128)
+    packed = kernel.pack_bbit(mins, 1)
+    sigs = spark.createDataFrame(
+        [("a", bytearray(packed[0].tobytes())), ("b", bytearray(packed[1].tobytes()))],
+        "rep_id string, sig binary",
+    )
+    contents = spark.createDataFrame([("a", small), ("b", big)], "rep_id string, content string")
+    pairs = spark.createDataFrame([("a", "b")], "a_id string, b_id string")
+    out = verify_pairs(pairs, sigs, contents, cfg).collect()
+    assert len(out) == 1                      # accepted via containment
+    assert out[0]["containment"] >= 0.95
+    assert out[0]["jaccard"] < 0.9
+
+    cfg_off = MinHashConfig(
+        tokenizer="char_shingle", tokenizer_params={"k": 5}, verify_threshold=0.9
+    )
+    assert verify_pairs(pairs, sigs, contents, cfg_off).count() == 0
