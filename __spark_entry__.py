@@ -10,7 +10,13 @@ golden vectors is pinned by tests/test_kernel.py + tests/test_pipeline_fixture.p
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "67108864")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 from pyspark.sql import DataFrame, SparkSession
 
