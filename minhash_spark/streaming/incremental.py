@@ -52,6 +52,7 @@ def signature_stream(
             "path",
             "commit",
             "lang",
+            "content",
             "content_sha256",
             F.col("s.sig").alias("sig"),
             F.col("s.sig_b64").alias("sig_b64"),
@@ -126,11 +127,18 @@ def run_incremental_dedup(
         sigs_only = union.select("rep_id", "sig")
         contents = union.select("rep_id", "content")
         edges = verify.verify_pairs(cand, sigs_only, contents, cfg)
-        edges.write.mode("append").parquet(edges_dir)
+        # foreachBatch is at-least-once: write per-batch_id subdirectories in
+        # overwrite mode so a replayed batch rewrites (not duplicates) its own
+        # slice of state, making the commit idempotent.
+        edges.write.mode("overwrite").parquet(
+            os.path.join(edges_dir, f"batch_id={batch_id}")
+        )
         # content is retained in state so later batches can exact-verify
         # new-vs-history candidates (at scale: swap for a pointer back into
         # the source table and join on demand)
-        new_sigs.write.mode("append").parquet(sig_dir)
+        new_sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"batch_id={batch_id}")
+        )
 
     q = (
         signature_stream(spark, input_dir, cfg)
