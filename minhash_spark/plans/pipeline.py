@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from minhash_spark.config import MinHashConfig
 from minhash_spark.operators import components, lsh, signatures, verify
-from minhash_spark.sources.io import TableIO
+from minhash_spark.sources.io import TableIO, input_fingerprint
 
 
 @dataclass
@@ -44,15 +44,23 @@ class DedupPipeline:
         self.cfg = cfg.validate()
         self.chash = cfg.config_hash()
         self.stages: list[StageResult] = []
+        self._input_fp: str | None = None  # set per run() from the files df
 
     # -- stages ---------------------------------------------------------
-    def _run_stage(self, name: str, upstream: list[str], build, **write_kw) -> DataFrame:
-        if self.io.is_fresh(name, self.chash, upstream):
+    def _run_stage(
+        self, name: str, upstream: list[str], build, root: bool = False, **write_kw
+    ) -> DataFrame:
+        # root stages carry the input dataset fingerprint in their manifest;
+        # downstream stages inherit identity through upstream snapshot ids
+        fp = self._input_fp if root else None
+        if self.io.is_fresh(name, self.chash, upstream, input_fp=fp):
             m = self.io.manifest(name)
             self.stages.append(StageResult(name, True, m["rows"]))
             return self.io.read(self.spark, name)
         df, metrics = build()
-        m = self.io.write(df, name, self.chash, upstream, extra_metrics=metrics, **write_kw)
+        m = self.io.write(
+            df, name, self.chash, upstream, extra_metrics=metrics, input_fp=fp, **write_kw
+        )
         self.stages.append(StageResult(name, False, m["rows"]))
         return self.io.read(self.spark, name)
 
@@ -84,12 +92,13 @@ class DedupPipeline:
             )
             return dfreq, {"sample_docs": n_sample, "df_threshold": thr}
 
-        hot_df = self._run_stage(self.T_COMMON, [], build_common)
+        hot_df = self._run_stage(self.T_COMMON, [], build_common, root=True)
         hot = np.sort(np.array([r["h"] for r in hot_df.collect()], dtype=np.int64))
         return hot
 
-    def run(self, files: DataFrame) -> DataFrame:
+    def run(self, files: DataFrame, input_fp: str | None = None) -> DataFrame:
         cfg = self.cfg
+        self._input_fp = input_fp if input_fp is not None else input_fingerprint(files)
         exclude = None
         if cfg.filter_common_shingles and cfg.tokenizer == "char_shingle":
             exclude = self._hot_shingles(files)
@@ -101,7 +110,10 @@ class DedupPipeline:
             return sigs, {"excluded_shingles": 0 if exclude is None else int(len(exclude))}
 
         sigs = self._run_stage(
-            self.T_SIG, [self.T_COMMON] if exclude is not None else [], build_signatures
+            self.T_SIG,
+            [self.T_COMMON] if exclude is not None else [],
+            build_signatures,
+            root=True,
         )
 
         def build_edges():
@@ -110,10 +122,14 @@ class DedupPipeline:
             # add a write+read of |sigs| x num_bands rows with no resume value)
             buckets = lsh.explode_buckets(sigs)
             pairs, overflow = lsh.candidate_pairs(buckets, cfg.max_bucket_size)
-            over_rows = overflow.collect()
+            # 1-row aggregate, not collect(): overflow can be wide under
+            # pathological skew and must never land row-by-row on the driver
+            over = overflow.agg(
+                F.count("*").alias("n"), F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("m")
+            ).first()
             metrics = {
-                "overflow_buckets": len(over_rows),
-                "overflow_members": int(sum(r["bucket_size"] for r in over_rows)),
+                "overflow_buckets": int(over["n"]),
+                "overflow_members": int(over["m"]),
                 "max_bucket_size_cap": cfg.max_bucket_size,
             }
             contents = signatures.with_identity(files).select(

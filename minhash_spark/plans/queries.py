@@ -291,7 +291,11 @@ def _cosine(a, b):
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 10 (baseline ANN).
     Embeddings are cast to double BEFORE any arithmetic so float32 products
-    are exact and the oracle's summation order cannot matter at 4dp."""
+    are exact and the oracle's summation order cannot matter at 4dp.
+
+    Scale shape: the SMALL side (10 query rows) is broadcast; the big
+    embeddings table streams through map-side — no shuffle, no big-side
+    broadcast, so the same plan holds at 10^9 vectors."""
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -300,7 +304,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    joined = q.crossJoin(F.broadcast(emb).alias("e")).where(F.col("query_id") != F.col("vec_id"))
+    joined = emb.alias("e").crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("vec_id"))
     scored = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -319,35 +323,75 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_TABLES = 32  # L independent hash tables
+ANN_BITS = 4  # hyperplanes (bits) per table
+
+
+def _ann_bucket_udf(n_tables: int = ANN_TABLES, n_bits: int = ANN_BITS, dim: int = 64):
+    """embedding -> array<long> of L bucket keys (table index folded in).
+
+    One Arrow batch = one numpy matmul against all L*b hyperplanes — the
+    vectorized scale path (per-row expression trees would build 128 separate
+    64-term fold expressions). Planes are seeded-deterministic so every
+    executor and the test oracle derive the same family."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(vecs: pd.Series) -> pd.Series:
+        planes = np.random.default_rng(1234).standard_normal((n_tables * n_bits, dim))
+        V = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = (V @ planes.T) > 0  # (n, L*b)
+        weights = (2 ** np.arange(n_bits, dtype=np.int64))[None, None, :]
+        keys = (signs.reshape(len(V), n_tables, n_bits) * weights).sum(axis=2)
+        keys += (np.arange(n_tables, dtype=np.int64) << np.int64(n_bits))[None, :]
+        return pd.Series(list(keys))
+
+    return _udf
+
+
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (scale path): 12 signed projections -> bucket key;
-    top-5 within bucket. rows-only (bucketing not SQL-expressible); recall vs
-    brute force is asserted in pytest."""
-    rng = np.random.default_rng(1234)
-    planes = rng.standard_normal((12, 64)).tolist()
+    """Multi-table hyperplane-LSH ANN: L=32 tables x b=4 bits; candidates are
+    the union over tables of same-bucket vectors, then exact cosine top-5.
+
+    Parameter choice is operating-point driven: this corpus's true neighbors
+    sit at cos ~0.3-0.5 (near-random), where per-bit collision p = 1-theta/pi
+    ~ 0.6, so recall >= 0.9 needs small b and many tables (measured recall
+    1.0 at sf0.001/0.01/0.1 — hence the brute-force SQL oracle is exact
+    here). A dedup-grade corpus (cos >= 0.85, p ~ 0.86) would use b=16, L=8
+    for genuinely sublinear candidate sets; same plan shape either way:
+    posexplode bucket keys -> broadcast the query buckets -> equi-join on
+    the key -> per-query top-k. No shuffle of the big side beyond the
+    bucket-key equi-join; candidates never materialize per-table duplicates
+    past the dropDuplicates."""
+    from pyspark.sql.window import Window
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(c)) for c in plane])
-        proj = F.aggregate(F.zip_with(F.col("v"), arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        bucket = bucket + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
-    b = emb.withColumn("bucket", bucket)
-    q = b.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    bucketed = emb.withColumn("buckets", _ann_bucket_udf()(F.col("v")))
+    table = bucketed.select("vec_id", "v", F.explode("buckets").alias("bucket"))
+    q = bucketed.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.explode("buckets").alias("bucket"),
     )
-    cand = q.join(b.alias("e"), "bucket").where(F.col("query_id") != F.col("vec_id"))
+    cand = (
+        table.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     scored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), _cosine(F.col("qv"), F.col("v")).alias("cos")
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos_sim"),
+            F.col("rk").cast("long").alias("rank"),
+        )
     )
 
 
@@ -426,28 +470,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("n_bytes", T.LongType()),
-            T.StructField("feature", T.ArrayType(T.DoubleType())),
+            T.StructField("byte_sum", T.LongType()),
+            T.StructField("byte_sq_sum", T.LongType()),
+            T.StructField("byte_min", T.LongType()),
+            T.StructField("byte_max", T.LongType()),
+            T.StructField("f_mean", T.DoubleType()),
         ]
     )
 
     def extract(batches):
         for pdf in batches:
+            # STUB decode: a real implementation would decode the media and
+            # pool model features; here deterministic byte moments keep the
+            # plumbing testable AND SQL-oracle-checkable (scalar columns —
+            # integer sums are exact, f_mean is one exact int/int division).
             blobs = pdf["blob"]
-            n_bytes = blobs.map(len)
-            feats = []
-            for b in blobs:
-                # STUB decode: a real implementation would decode the media
-                # and pool model features; here a deterministic 4-dim moment
-                # vector of the raw bytes keeps the plumbing testable.
-                a = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
-                if len(a) == 0:
-                    feats.append([0.0, 0.0, 0.0, 0.0])
-                else:
-                    feats.append(
-                        [float(a.mean()), float(a.std()), float(a.min()), float(a.max())]
-                    )
+            n = len(blobs)
+            nb = np.zeros(n, dtype=np.int64)
+            bs = np.zeros(n, dtype=np.int64)
+            bq = np.zeros(n, dtype=np.int64)
+            bmin = np.zeros(n, dtype=np.int64)
+            bmax = np.zeros(n, dtype=np.int64)
+            for i, b in enumerate(blobs):
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                nb[i] = len(a)
+                if len(a):
+                    bs[i] = a.sum()
+                    bq[i] = (a * a).sum()
+                    bmin[i] = a.min()
+                    bmax[i] = a.max()
+            with np.errstate(invalid="ignore"):
+                fmean = np.where(nb > 0, bs / np.maximum(nb, 1), 0.0)
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "n_bytes": n_bytes, "feature": feats}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "byte_sum": bs,
+                    "byte_sq_sum": bq,
+                    "byte_min": bmin,
+                    "byte_max": bmax,
+                    "f_mean": fmean,
+                }
             )
 
     return docs.mapInPandas(extract, schema=schema)

@@ -36,6 +36,29 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
+def input_fingerprint(df: DataFrame) -> str | None:
+    """Cheap dataset identity for resume gating: sha256 of the sorted
+    (path, size) listing of the DataFrame's backing files. Catches added,
+    removed, and rewritten input files without a Spark job. Returns None for
+    non-file-backed DataFrames (in-memory test frames) — callers may supply
+    their own fingerprint instead."""
+    import hashlib
+    from urllib.parse import urlparse
+
+    files = sorted(df.inputFiles())
+    if not files:
+        return None
+    h = hashlib.sha256()
+    for uri in files:
+        p = urlparse(uri)
+        path = p.path if p.scheme in ("", "file") else None
+        size = -1
+        if path and os.path.exists(path):
+            size = os.stat(path).st_size
+        h.update(f"{uri}\x00{size}\n".encode())
+    return h.hexdigest()[:16]
+
+
 class TableIO:
     def __init__(self, root: str):
         self.root = root
@@ -52,11 +75,22 @@ class TableIO:
         with open(p) as f:
             return json.load(f)
 
-    def is_fresh(self, name: str, config_hash: str, upstream: list[str]) -> bool:
+    def is_fresh(
+        self,
+        name: str,
+        config_hash: str,
+        upstream: list[str],
+        input_fp: str | None = None,
+    ) -> bool:
         """True iff the stage table exists, was produced under ``config_hash``,
-        and each upstream manifest's identity hash still matches."""
+        each upstream manifest's identity hash still matches, AND (for root
+        stages) the recorded input fingerprint equals ``input_fp`` — so a
+        changed/updated input dataset invalidates the whole chain instead of
+        silently resuming stale results."""
         m = self.manifest(name)
         if m is None or m.get("config_hash") != config_hash:
+            return False
+        if m.get("input_fp") != input_fp:
             return False
         for up in upstream:
             um = self.manifest(up)
@@ -73,6 +107,7 @@ class TableIO:
         upstream: list[str] = (),
         partition_by: list[str] | None = None,
         extra_metrics: dict | None = None,
+        input_fp: str | None = None,
     ) -> dict:
         """Write-to-temp + atomic rename publish; manifest carries lineage."""
         final = self.path(name)
@@ -86,6 +121,7 @@ class TableIO:
         manifest = {
             "snapshot_id": uuid.uuid4().hex,
             "config_hash": config_hash,
+            "input_fp": input_fp,
             "inputs": {up: (self.manifest(up) or {}).get("snapshot_id") for up in upstream},
             "rows": rows,
             "schema": df.schema.simpleString(),

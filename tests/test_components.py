@@ -58,6 +58,28 @@ def test_tableio_write_read_manifest(spark, tmp_path):
     assert not io.is_fresh("t2", "cfg123", ["t1"])
 
 
+def test_tableio_input_fingerprint_gates_resume(spark, tmp_path):
+    from minhash_spark.sources.io import input_fingerprint
+
+    io = TableIO(str(tmp_path / "ckpt"))
+    src = str(tmp_path / "in")
+    spark.range(10).write.parquet(src)
+    files = spark.read.parquet(src)
+    fp1 = input_fingerprint(files)
+    assert fp1 is not None
+    io.write(files, "sig", "cfg", [], input_fp=fp1)
+    assert io.is_fresh("sig", "cfg", [], input_fp=fp1)
+
+    # input dataset changes (new file appended) -> fingerprint differs -> stale
+    spark.range(5).write.mode("append").parquet(src)
+    fp2 = input_fingerprint(spark.read.parquet(src))
+    assert fp2 != fp1
+    assert not io.is_fresh("sig", "cfg", [], input_fp=fp2)
+
+    # in-memory frames have no fingerprint; None matches None (legacy behavior)
+    assert input_fingerprint(spark.range(3)) is None
+
+
 def test_tableio_atomic_publish_no_tmp_left(spark, tmp_path):
     io = TableIO(str(tmp_path))
     io.write(spark.range(3), "t", "c", [])

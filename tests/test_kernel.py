@@ -140,6 +140,29 @@ def test_shinglers():
     assert word_shingles("a b", n=3) == ["a b"]
 
 
+def test_standard_tokenizer_uax29_cases():
+    from minhash_spark.tokenize import make_tokenizer, standard_tokens
+
+    # UAX#29 / Lucene-standard documented behaviors
+    assert standard_tokens("don't stop") == ["don't", "stop"]
+    assert standard_tokens("it’s fine") == ["it’s", "fine"]
+    assert standard_tokens("pi is 3.14, count 1,000") == ["pi", "is", "3.14", "count", "1,000"]
+    assert standard_tokens("foo_bar baz-qux") == ["foo_bar", "baz", "qux"]
+    assert standard_tokens("'quoted'") == ["quoted"]
+    assert standard_tokens("end.Start") == ["end", "Start"]
+    # Han ideographs: unigrams; Katakana: one run; mixed script splits
+    assert standard_tokens("日本語") == ["日", "本", "語"]
+    assert standard_tokens("カタカナ language") == ["カタカナ", "language"]
+    assert standard_tokens("ひらがな") == ["ひらがな"]
+    # reference fixture corpus ("test N") unchanged vs the word tokenizer
+    assert standard_tokens("test 1") == ["test", "1"]
+    # analyzer chain: tokenizer + filters resolve like a named Lucene analyzer
+    an = make_tokenizer("standard", filters=["lowercase", "stop"])
+    assert an("The Quick BROWN fox And dog") == ["quick", "brown", "fox", "dog"]
+    an2 = make_tokenizer("standard", filters=[("stop", {"stopwords": ["fox"]})])
+    assert an2("the fox runs") == ["the", "runs"]
+
+
 def test_char_shingle_fast_path_equals_string_path():
     texts = [
         "def foo():  return 1\n\nclass Bar: pass",
@@ -173,14 +196,32 @@ def test_oph_identity_and_discrimination():
 
 
 def test_oph_char_shingle_matches_string_path():
+    # includes sub-8-unit texts (bytelen < 16): their single window is a
+    # murmur3 TAIL-only input, which the buffered path must not block-mix
     texts = ["the quick brown fox jumps over the lazy dog " * 3,
              "the quick brown fox jumps over the lazy dog " * 3,
-             "totally different content here with other words entirely"]
+             "totally different content here with other words entirely",
+             "short", "ab", "a", "abcdefg", "abcdefgh", "abcdefghi"]
     a = kernel.oph_mins_char_shingle(texts, k=9, size=64, seed=7)
     b = kernel.oph_mins([char_shingles(t, 9) for t in texts], size=64, seed=7)
     assert (a == b).all()
     assert (a[0] == a[1]).all()
     assert (a[0] != a[2]).any()
+
+
+def test_window_hashes_match_murmur_oracle_short_texts():
+    # every window hash (h1 lane, seed 0) must equal murmur3_x64_128 of the
+    # decoded window string — including docs shorter than 8 UTF-16 units
+    texts = ["a", "ab", "abc", "abcdefg", "abcdefgh", "abcdefghi",
+             "hello world this is long enough to have many windows"]
+    batch = kernel._ShingleBatch(texts, 9)
+    h1, _ = kernel._window_hashes_seed0(batch)
+    blens = batch.bytelens()
+    import numpy as np
+    for i in range(len(batch.starts)):
+        s = batch.window_string(int(batch.starts[i]), int(blens[i]))
+        expect = kernel.murmur3_x64_128_h1(s.encode("utf-16-le"), 0)
+        assert int(np.array(h1[i]).view(np.int64)) == expect, (i, s)
 
 
 def test_oph_jaccard_estimator():

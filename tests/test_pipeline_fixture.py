@@ -39,6 +39,31 @@ def test_golden_signatures_through_spark(spark, files_a):
             assert got[content] == expected[i], (cfg, content)
 
 
+def test_multi_config_fanout_matches_golden(spark, files_a):
+    """copy_to analog: ONE UDF pass produces all three analyzer signatures
+    (MinHashPluginTest.java:106-113) and each matches its golden vector."""
+    from minhash_spark.functions.udfs import multi_config_struct_udf
+
+    udf = multi_config_struct_udf(
+        {k: REFERENCE_CONFIGS[k] for k in ("analyzer1", "analyzer2", "analyzer3")}
+    )
+    rows = (
+        files_a.where(F.col("content").isin(*GOLDEN))
+        .select("content", udf(F.col("content")).alias("m"))
+        .distinct()
+        .collect()
+    )
+    assert len(rows) == 2
+    for r in rows:
+        exp = GOLDEN[r["content"]]
+        assert r["m"]["analyzer1"]["sig_b64"] == exp[0]
+        assert r["m"]["analyzer2"]["sig_b64"] == exp[1]
+        assert r["m"]["analyzer3"]["sig_b64"] == exp[2]
+        # null handling: struct fields None for null content is covered by
+        # the single-config surface tests; bands present here
+        assert len(r["m"]["analyzer3"]["bands"]) == REFERENCE_CONFIGS["analyzer3"].num_bands
+
+
 def test_identical_content_identical_signature_all_docs(spark, files_a):
     # docs i and i+100 share content => identical signatures (doc 101 ≡ doc 1)
     cfg = REFERENCE_CONFIGS["analyzer3"]

@@ -13,13 +13,17 @@ def test_embedding_ann_recall_vs_brute(spark):
     ann = Q.q_embedding_ann_lsh(spark, SF).collect()
     truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
     got = {(r["query_id"], r["neighbor_id"]) for r in ann}
-    # every ANN hit must be a genuine neighbor pairing of that query with
-    # positive similarity; ANN is allowed to miss (bucketing) but not invent
-    # wrong scores — spot-check score agreement on the overlap
+    # hard recall gate: the multi-table LSH must recover >=90% of the true
+    # top-5 pairs (b=4 x L=32 is tuned for this corpus's cosine operating
+    # point; measured 1.0 — see q_embedding_ann_lsh docstring)
+    assert len(truth) == 50
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"ANN recall {recall} < 0.9"
+    # and scores on the overlap must agree exactly with brute force
     brute_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute}
+    ann_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in ann}
     for key in got & truth:
-        ann_score = next(r["cos_sim"] for r in ann if (r["query_id"], r["neighbor_id"]) == key)
-        assert abs(ann_score - brute_scores[key]) < 1e-9
+        assert abs(ann_scores[key] - brute_scores[key]) < 1e-9
 
 
 def test_doc_fingerprints_deterministic_and_sane(spark):
@@ -37,7 +41,10 @@ def test_multimodal_stub_plumbing(spark):
     assert len(rows) == 500
     for r in rows[:5]:
         assert r["n_bytes"] > 0
-        assert len(r["feature"]) == 4
+        assert 0 < r["byte_min"] <= r["byte_max"] <= 255
+        assert r["byte_sum"] == round(r["f_mean"] * r["n_bytes"])
+        # ASCII corpus: sq_sum bounded by max^2 * n
+        assert r["byte_sq_sum"] <= r["byte_max"] ** 2 * r["n_bytes"]
 
 
 def test_minhash_signatures_are_reference_encoded(spark):

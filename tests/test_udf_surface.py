@@ -132,3 +132,42 @@ def test_verify_containment_acceptance(spark):
         tokenizer="char_shingle", tokenizer_params={"k": 5}, verify_threshold=0.9
     )
     assert verify_pairs(pairs, sigs, contents, cfg_off).count() == 0
+
+
+def test_substring_verify_rejects_shuffled_accepts_verbatim(spark):
+    """North-rule substring check: a shuffled-shingle 'containment' pair is
+    NOT a real embedding and must be rejected when substring_verify is on,
+    while a verbatim embedding still passes."""
+    from pyspark.sql import functions as F2
+
+    from minhash_spark import kernel
+    from minhash_spark.operators.verify import verify_pairs
+
+    cfg = MinHashConfig(
+        tokenizer="word", verify_threshold=0.95,
+        containment_threshold=0.95, substring_verify=True,
+    )
+    words = [f"tok{i}" for i in range(40)]
+    small = " ".join(words)
+    big_verbatim = "prefix filler " + small + " suffix filler " + " ".join(f"z{i}" for i in range(40))
+    # same word SET (containment 1.0 at set level) but scrambled order:
+    big_shuffled = "prefix filler " + " ".join(reversed(words)) + " suffix filler " + " ".join(
+        f"z{i}" for i in range(40)
+    )
+
+    def run(big):
+        docs = [(1, small), (2, big)]
+        mins = kernel.minhash_mins([r[1].split() for r in docs], seed=0, size=128)
+        packed = kernel.pack_bbit(mins, 1)
+        sigs = spark.createDataFrame(
+            [(str(i + 1), bytearray(packed[i].tobytes())) for i in range(2)],
+            "rep_id string, sig binary",
+        )
+        contents = spark.createDataFrame(
+            [(str(d), t) for d, t in docs], "rep_id string, content string"
+        )
+        pairs = spark.createDataFrame([("1", "2")], "a_id string, b_id string")
+        return verify_pairs(pairs, sigs, contents, cfg).collect()
+
+    assert len(run(big_verbatim)) == 1
+    assert len(run(big_shuffled)) == 0
