@@ -28,7 +28,17 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--bit", type=int, default=1)
-    p.add_argument("--tokenizer", default="char_shingle", choices=["word", "char_shingle", "word_shingle"])
+    p.add_argument(
+        "--tokenizer",
+        default="char_shingle",
+        choices=["word", "standard", "char_shingle", "word_shingle"],
+    )
+    p.add_argument(
+        "--filters",
+        nargs="*",
+        default=None,
+        help="analyzer-chain token filters in order (e.g. --filters lowercase stop)",
+    )
     p.add_argument("--shingle-k", type=int, default=9)
     p.add_argument("--word-n", type=int, default=3)
     p.add_argument("--num-bands", type=int, default=21)
@@ -49,6 +59,8 @@ def main():
         if args.tokenizer == "char_shingle"
         else ({"n": args.word_n} if args.tokenizer == "word_shingle" else {})
     )
+    if args.filters:
+        tok_params = {**tok_params, "filters": list(args.filters)}
     cfg = MinHashConfig(
         seed=args.seed,
         size=args.size,

@@ -78,6 +78,20 @@ class MinHashConfig:
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
     def validate(self) -> "MinHashConfig":
+        # fail on the driver at config build, not as a KeyError inside an
+        # executor UDF batch
+        from minhash_spark.tokenize import TOKEN_FILTERS, TOKENIZERS
+
+        if self.tokenizer not in TOKENIZERS:
+            raise ValueError(
+                f"unknown tokenizer {self.tokenizer!r}; choose from {sorted(TOKENIZERS)}"
+            )
+        for spec in self.tokenizer_params.get("filters") or ():
+            fname = spec if isinstance(spec, str) else spec[0]
+            if fname not in TOKEN_FILTERS:
+                raise ValueError(
+                    f"unknown token filter {fname!r}; choose from {sorted(TOKEN_FILTERS)}"
+                )
         if self.num_bands * self.rows_per_band > self.size:
             raise ValueError("num_bands*rows_per_band must be <= size")
         if not (1 <= self.bit <= 16):
