@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search over embeddings
         "embedding_topk": Q.q_embedding_topk,
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
+        "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
         # multimodal plumbing (stub decoder, real Spark plumbing)
         "multimodal_features": Q.q_multimodal_features,
     }
@@ -156,6 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''?[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,
                    length(text) AS n_chars_actual
             FROM documents
         """,
@@ -196,6 +199,15 @@ def oracle_sql() -> dict[str, str]:
         # exact brute-force top-5 IS the expected ANN output here.
         "embedding_ann_lsh": _EMBEDDING_TOPK_SQL,
         "char_ngram_dup_pairs": _CHAR_NGRAM_PAIRS_SQL,
+        # LSH candidate recall at tau=0.45 measured 1.0 on every SF, so the
+        # exact all-pairs SQL is the expected output (see q_embedding_near_dup_pairs)
+        "embedding_near_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        """,
         # corpus is pure ASCII (verified: octet_length(encode(text)) ==
         # length(text) at every SF), so per-char codepoints == utf-8 bytes and
         # the byte moments are exactly reproducible in SQL; integer sums are

@@ -77,10 +77,12 @@ def run_pipeline(spark, corpus_path: str) -> dict:
     shutil.rmtree(warm_ckpt, ignore_errors=True)
     DedupPipeline(spark, TableIO(warm_ckpt), cfg).run(files).count()
     shutil.rmtree(warm_ckpt, ignore_errors=True)
-    # min of 3 measured runs: this sandbox's timing noise is +-50% on
-    # identical stages; the minimum is the least-contaminated estimate
+    # min of N measured runs (default 3): this sandbox's timing noise is
+    # +-50% on identical stages; the minimum is the least-contaminated
+    # estimate. SPARK_GRAFT_BENCH_RUNS trims very long low-core legs.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", 3))
     best_wall, best_stage_walls, n_out = None, {}, 0
-    for _rep in range(3):
+    for _rep in range(n_runs):
         shutil.rmtree(ckpt, ignore_errors=True)
         t0 = time.time()
         pipe = DedupPipeline(spark, TableIO(ckpt), cfg)
@@ -107,7 +109,7 @@ def run_pipeline(spark, corpus_path: str) -> dict:
         "clusters": n_clusters,
         "stage_walls": best_stage_walls,
         "scheme": cfg.scheme,
-        "runs": 3,
+        "runs": n_runs,
     }
 
 
@@ -149,8 +151,12 @@ def main():
     timed("minhash_signatures_docs", lambda: Q.q_minhash_signatures(spark, sf_dir).count())
     timed("simhash_pairs_docs", lambda: Q.q_simhash_near_dup_pairs(spark, sf_dir).count())
     timed("embedding_topk", lambda: Q.q_embedding_topk(spark, sf_dir).count())
+    timed("embedding_ann_lsh", lambda: Q.q_embedding_ann_lsh(spark, sf_dir).count())
+    timed("embedding_near_dup_pairs", lambda: Q.q_embedding_near_dup_pairs(spark, sf_dir).count())
     timed("quality_scores_docs", lambda: Q.q_quality_scores(spark, sf_dir).count())
+    timed("token_counts_docs", lambda: Q.q_token_counts(spark, sf_dir).count())
     timed("doc_fingerprints_docs", lambda: Q.q_doc_fingerprints(spark, sf_dir).count())
+    timed("multimodal_features_docs", lambda: Q.q_multimodal_features(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 2)
     print(

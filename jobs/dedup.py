@@ -19,6 +19,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# runnable from any cwd without --py-files (plain `python jobs/dedup.py`);
+# on a cluster, spark-submit --py-files dist/minhash_spark.zip takes over.
+# PYTHONPATH (not just sys.path) so executor Python workers can unpickle the
+# kernel UDFs too — they import minhash_spark on their own.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main():

@@ -45,29 +45,46 @@ def verify_pairs(
         # containment pairs (small file inside big) can have arbitrarily low
         # Jaccard, so the signature estimate cannot prefilter them
         p_min = 0.0
-    # materialize candidates once: the bucket self-join + dedup subtree must
-    # not be replanned/recomputed inside the downstream join DAG
+    # materialize candidates once: measured load-bearing (removing this
+    # barrier tripled the edges-stage wall at local[8]) — the checkpoint both
+    # stops the bucket-stats broadcast subquery re-running inside the big
+    # verify job and gives AQE exact sizes to plan the downstream signature
+    # joins as broadcasts
     pairs = pairs.localCheckpoint()
     joined = pairs.join(
         sigs.select(F.col("rep_id").alias("a_id"), F.col("sig").alias("sig_a")), "a_id"
     ).join(sigs.select(F.col("rep_id").alias("b_id"), F.col("sig").alias("sig_b")), "b_id")
+    # survivors feed THREE downstream references (the id semi-join union uses
+    # it twice, the content join once): materialize once or the signature
+    # join + bitmatch UDF subtree re-executes per reference
     survivors = (
         joined.withColumn("bit_match", bitmatch(F.col("sig_a"), F.col("sig_b")))
         .where(F.col("bit_match") >= F.lit(p_min))
         .select("a_id", "b_id")
         .localCheckpoint()
     )
-    # survivors are few; AQE would coalesce them onto 1-2 tasks and starve the
-    # CPU-bound exact-Jaccard UDF. Spread pairs across the cluster first.
+    # survivors reference only a small fraction of the corpus; a semi-join on
+    # the candidate id set keeps NON-candidate content out of the two content
+    # shuffles entirely (at bench scale this is the difference between
+    # shuffling the whole 660 MB corpus twice and ~a quarter of it).
+    needed = (
+        survivors.select(F.col("a_id").alias("rep_id"))
+        .union(survivors.select(F.col("b_id").alias("rep_id")))
+        .distinct()
+    )
+    slim = contents.join(needed, "rep_id", "left_semi")
+    # survivors are few; AQE would coalesce them onto 1-2 tasks and starve
+    # the CPU-bound exact-Jaccard UDF, so ONE repartition spreads the joined
+    # pairs right before scoring (an extra pre-join repartition + barrier
+    # checkpoint here measured as pure fixed cost).
     par = pairs.sparkSession.sparkContext.defaultParallelism
     with_content = (
-        survivors.repartition(par)
-        .join(
-            contents.select(F.col("rep_id").alias("a_id"), F.col("content").alias("content_a")),
+        survivors.join(
+            slim.select(F.col("rep_id").alias("a_id"), F.col("content").alias("content_a")),
             "a_id",
         )
         .join(
-            contents.select(F.col("rep_id").alias("b_id"), F.col("content").alias("content_b")),
+            slim.select(F.col("rep_id").alias("b_id"), F.col("content").alias("content_b")),
             "b_id",
         )
         .repartition(par)

@@ -11,9 +11,9 @@ from minhash_spark.operators.components import connected_components
 from minhash_spark.sources.io import TableIO
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, ["u", "v"])
-    out = connected_components(df)
+    out = connected_components(df, **kw)
     return {r["node"]: r["component"] for r in out.collect()}
 
 
@@ -39,6 +39,18 @@ def test_cc_string_ids(spark):
 def test_cc_self_loop_and_dup_edges(spark):
     got = _cc(spark, [(1, 1), (1, 2), (2, 1), (1, 2)])
     assert got == {1: 1, 2: 1}
+
+
+def test_cc_distributed_path_matches_driver_path(spark):
+    # driver_threshold=0 forces the star-contraction path (the 10^12-row
+    # route); results must be identical to the driver union-find fast path
+    cases = [
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)],
+        [(i, i + 1) for i in range(40)],
+        [("b", "a"), ("c", "b"), ("x", "z")],
+    ]
+    for edges in cases:
+        assert _cc(spark, edges, driver_threshold=0) == _cc(spark, edges)
 
 
 def test_tableio_write_read_manifest(spark, tmp_path):
