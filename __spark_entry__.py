@@ -42,15 +42,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_collapse": Q.q_minhash_collapse,
         "simhash_near_dup_pairs": Q.q_simhash_near_dup_pairs,
         "char_ngram_dup_pairs": Q.q_char_ngram_dup_pairs,
+        "near_dup_cluster_sizes": Q.q_near_dup_cluster_sizes,
+        "dedup_summary": Q.q_dedup_summary,
         # text analytics (training-data pipeline extensions)
         "token_counts": Q.q_token_counts,
         "quality_scores": Q.q_quality_scores,
         "lang_marker_scores": Q.q_lang_marker_scores,
+        "lang_id": Q.q_lang_id,
+        "quality_filter": Q.q_quality_filter,
+        "source_rollup": Q.q_source_rollup,
         "doc_fingerprints": Q.q_doc_fingerprints,
         # similarity search over embeddings
         "embedding_topk": Q.q_embedding_topk,
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
         "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
+        "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
         # multimodal plumbing (stub decoder, real Spark plumbing)
         "multimodal_features": Q.q_multimodal_features,
     }
@@ -106,6 +112,30 @@ WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
         / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
 """
 
+_NEAR_DUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_NEAR_DUP_PAIRS_SQL}),
+    und AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS comp FROM documents
+      UNION
+      SELECT und.v AS node, reach.comp
+      FROM reach JOIN und ON und.u = reach.node
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+"""
+
+_EMBEDDING_NEAR_DUP_PAIRS_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+"""
+
 _EMBEDDING_TOPK_SQL = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -139,20 +169,25 @@ def oracle_sql() -> dict[str, str]:
               ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
         """,
         "near_dup_pairs": _NEAR_DUP_PAIRS_SQL,
-        "near_dup_clusters": f"""
-            WITH RECURSIVE pairs AS ({_NEAR_DUP_PAIRS_SQL}),
-            und AS (
-              SELECT a_id AS u, b_id AS v FROM pairs
-              UNION ALL
-              SELECT b_id AS u, a_id AS v FROM pairs
-            ),
-            reach AS (
-              SELECT doc_id AS node, doc_id AS comp FROM documents
-              UNION
-              SELECT und.v AS node, reach.comp
-              FROM reach JOIN und ON und.u = reach.node
+        "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
+        "near_dup_cluster_sizes": f"""
+            WITH clusters AS ({_NEAR_DUP_CLUSTERS_SQL}),
+            sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM clusters GROUP BY cluster_id
             )
-            SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+            SELECT cluster_size, count(*) AS n_clusters
+            FROM sizes GROUP BY cluster_size
+        """,
+        "dedup_summary": f"""
+            WITH pairs AS ({_NEAR_DUP_PAIRS_SQL}),
+            clusters AS ({_NEAR_DUP_CLUSTERS_SQL})
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(DISTINCT sha256(text)) FROM documents) AS n_exact_unique,
+                   (SELECT count(*) FROM pairs) AS n_near_dup_pairs,
+                   (SELECT count(DISTINCT cluster_id) FROM clusters) AS n_clusters,
+                   round((SELECT count(DISTINCT cluster_id) FROM clusters)::DOUBLE
+                         / (SELECT count(*) FROM documents), 6) AS kept_ratio
         """,
         "token_counts": """
             SELECT doc_id,
@@ -193,6 +228,56 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(w, x -> list_contains(['de','shi'], x))) AS score_zh
             FROM t
         """,
+        "lang_id": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), s AS (
+              SELECT doc_id, lang,
+                     len(list_filter(w, x -> list_contains(['the','and'], x))) AS s_en,
+                     len(list_filter(w, x -> list_contains(['der','und'], x))) AS s_de,
+                     len(list_filter(w, x -> list_contains(['le','et'], x))) AS s_fr,
+                     len(list_filter(w, x -> list_contains(['el','y'], x))) AS s_es,
+                     len(list_filter(w, x -> list_contains(['de','shi'], x))) AS s_zh
+              FROM t
+            ), p AS (
+              SELECT doc_id, lang,
+                     CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+                          WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+                          WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+                          WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+                          WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+                          ELSE 'zh' END AS pred_lang
+              FROM s
+            )
+            SELECT doc_id, lang, pred_lang,
+                   (pred_lang = lang)::BIGINT AS is_correct
+            FROM p
+        """,
+        "quality_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 30 THEN 'too_short'
+                          WHEN len(list_filter(w, x -> list_contains(
+                               ['the','a','of','and','to','in','is','for'], x)))::DOUBLE
+                               / len(w) < 0.05 THEN 'low_stopword'
+                          ELSE 'ok' END AS reason
+              FROM t
+            )
+            SELECT doc_id, reason, (reason = 'ok')::BIGINT AS keep FROM r
+        """,
+        "source_rollup": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+                   round(avg(length(text)), 4) AS avg_chars
+            FROM documents GROUP BY source, lang
+        """,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         # the ANN's measured recall is 1.0 on the driver corpora (b=4, L=32
         # tuned to the corpus's near-random cosine operating point), so the
@@ -201,12 +286,21 @@ def oracle_sql() -> dict[str, str]:
         "char_ngram_dup_pairs": _CHAR_NGRAM_PAIRS_SQL,
         # LSH candidate recall at tau=0.45 measured 1.0 on every SF, so the
         # exact all-pairs SQL is the expected output (see q_embedding_near_dup_pairs)
-        "embedding_near_dup_pairs": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        "embedding_near_dup_pairs": _EMBEDDING_NEAR_DUP_PAIRS_SQL,
+        "embedding_near_dup_clusters": f"""
+            WITH RECURSIVE epairs AS ({_EMBEDDING_NEAR_DUP_PAIRS_SQL}),
+            und AS (
+              SELECT a_id AS u, b_id AS v FROM epairs
+              UNION ALL
+              SELECT b_id AS u, a_id AS v FROM epairs
+            ),
+            reach AS (
+              SELECT vec_id AS node, vec_id AS comp FROM embeddings
+              UNION
+              SELECT und.v AS node, reach.comp
+              FROM reach JOIN und ON und.u = reach.node
+            )
+            SELECT node AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY node
         """,
         # corpus is pure ASCII (verified: octet_length(encode(text)) ==
         # length(text) at every SF), so per-char codepoints == utf-8 bytes and

@@ -454,6 +454,130 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: connected components over the exact
+    cosine>=0.45 edge set (candidates from the shared hyperplane-LSH buckets),
+    every vector assigned a cluster (singletons map to themselves).
+
+    Same CC operator as the MinHash path — scale-adaptive driver union-find /
+    star contraction — so the 10^9-vector story is identical to documents."""
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id")
+    e = q_embedding_near_dup_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    )
+    comp = components.connected_components(e)
+    out = vecs.join(
+        comp.select(F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")),
+        "vec_id",
+        "left",
+    )
+    return out.select(
+        "vec_id", F.coalesce(F.col("cluster_id"), F.col("vec_id")).cast("long").alias("cluster_id")
+    )
+
+
+def q_near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup clustering (the rollup a
+    dedup report starts from): (cluster_size, n_clusters). Two partial-agg
+    shuffles over (doc ->) cluster_id -> size; reuses the cached edge DAG."""
+    clusters = q_near_dup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
+    )
+
+
+# fixed priority order for argmax ties (and the all-zero fallback 'und');
+# the oracle SQL uses the same CASE order so both sides are deterministic
+_LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: argmax over the marker-word scores of
+    q_lang_marker_scores, 'und' when no marker hits; is_correct compares to
+    the table's lang label. Pure native expressions (one pass, no shuffle)."""
+    scores = q_lang_marker_scores(spark, sf_dir)
+    score_cols = [F.col(f"score_{lang}") for lang in _LANG_PRIORITY]
+    mx = F.greatest(*score_cols)
+    pred = F.when(mx == 0, F.lit("und"))
+    for lang in _LANG_PRIORITY:
+        pred = pred.when(F.col(f"score_{lang}") == mx, F.lit(lang))
+    return scores.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("long").alias("is_correct"),
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality filter: keep iff n_tokens >= 30 AND
+    stopword_ratio >= 0.05; reason = first failing rule in fixed order.
+    The shape every training-data pipeline needs — a native-expression filter
+    with an auditable reason column (no UDF, fully pushdown-friendly)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / n_tokens
+    reason = (
+        F.when(n_tokens < 30, F.lit("too_short"))
+        .when(stop_ratio < 0.05, F.lit("low_stopword"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").cast("long").alias("keep"),
+    )
+
+
+def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus rollup: docs, token mass, mean doc length.
+    Classic partial-agg (map-side combine) shape; at 100 TB this is one
+    shuffle on a low-cardinality key."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(n_tokens).cast("long").alias("total_tokens"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+    )
+
+
+def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dedup report: doc count, exact-unique count, verified
+    near-dup pair count, cluster count, and the kept-after-dedup ratio.
+    Aggregates engine outputs (shares the cached edge DAG)."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_unique = docs.select(F.sha2("text", 256)).distinct().count()
+    n_pairs = _near_dup_edges(spark, sf_dir).count()
+    n_clusters = (
+        q_near_dup_clusters(spark, sf_dir).select("cluster_id").distinct().count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_unique,
+                n_pairs,
+                n_clusters,
+                round(n_clusters / n_docs, 6) if n_docs else 0.0,
+            )
+        ],
+        "n_docs long, n_exact_unique long, n_near_dup_pairs long, "
+        "n_clusters long, kept_ratio double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting & multimodal plumbing (rows-only)
 # ---------------------------------------------------------------------------

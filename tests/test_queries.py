@@ -55,3 +55,66 @@ def test_minhash_signatures_are_reference_encoded(spark):
         raw = base64.b64decode(r["sig_b64"])
         # reference encoding: <= 16 bytes (BitSet trailing-zero truncation)
         assert 0 < len(raw) <= 16
+
+
+def test_lang_id_argmax_and_fallback(spark):
+    rows = Q.q_lang_id(spark, SF).collect()
+    assert len(rows) == 500
+    scores = {r["doc_id"]: r for r in Q.q_lang_marker_scores(spark, SF).collect()}
+    langs = ["en", "de", "fr", "es", "zh"]
+    for r in rows:
+        s = scores[r["doc_id"]]
+        mx = max(s[f"score_{l}"] for l in langs)
+        if mx == 0:
+            assert r["pred_lang"] == "und"
+        else:
+            # first language (priority order) attaining the max
+            expected = next(l for l in langs if s[f"score_{l}"] == mx)
+            assert r["pred_lang"] == expected
+        assert r["is_correct"] == int(r["pred_lang"] == r["lang"])
+
+
+def test_quality_filter_reasons(spark):
+    rows = Q.q_quality_filter(spark, SF).collect()
+    assert len(rows) == 500
+    reasons = {r["reason"] for r in rows}
+    # corpus discriminates: all three outcomes occur
+    assert reasons == {"ok", "too_short", "low_stopword"}
+    assert all(r["keep"] == int(r["reason"] == "ok") for r in rows)
+
+
+def test_source_rollup_totals(spark):
+    rows = Q.q_source_rollup(spark, SF).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    tc = {r["doc_id"]: r["n_tokens"] for r in Q.q_token_counts(spark, SF).collect()}
+    assert sum(r["total_tokens"] for r in rows) == sum(tc.values())
+
+
+def test_near_dup_cluster_sizes_consistent(spark):
+    clusters = Q.q_near_dup_clusters(spark, SF).collect()
+    hist = {r["cluster_size"]: r["n_clusters"] for r in Q.q_near_dup_cluster_sizes(spark, SF).collect()}
+    from collections import Counter
+    sizes = Counter(Counter(r["cluster_id"] for r in clusters).values())
+    assert hist == dict(sizes)
+
+
+def test_dedup_summary_consistent(spark):
+    row = Q.q_dedup_summary(spark, SF).collect()[0]
+    assert row["n_docs"] == 500
+    assert row["n_near_dup_pairs"] == Q.q_near_dup_pairs(spark, SF).count()
+    n_clusters = Q.q_near_dup_clusters(spark, SF).select("cluster_id").distinct().count()
+    assert row["n_clusters"] == n_clusters
+    assert abs(row["kept_ratio"] - n_clusters / 500) < 1e-6
+
+
+def test_embedding_near_dup_clusters_vs_pairs(spark):
+    pairs = Q.q_embedding_near_dup_pairs(spark, SF).collect()
+    comp = {r["vec_id"]: r["cluster_id"] for r in Q.q_embedding_near_dup_clusters(spark, SF).collect()}
+    assert len(comp) == 500
+    for p in pairs:  # every verified pair must land in one cluster
+        assert comp[p["a_id"]] == comp[p["b_id"]]
+    # singletons are their own cluster
+    paired = {p["a_id"] for p in pairs} | {p["b_id"] for p in pairs}
+    for vid, cid in comp.items():
+        if vid not in paired:
+            assert cid == vid
