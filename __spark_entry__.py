@@ -51,7 +51,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": Q.q_lang_id,
         "quality_filter": Q.q_quality_filter,
         "source_rollup": Q.q_source_rollup,
+        "cluster_representatives": Q.q_cluster_representatives,
+        "vocab": Q.q_vocab,
+        "deterministic_sample": Q.q_deterministic_sample,
         "doc_fingerprints": Q.q_doc_fingerprints,
+        # event analytics (sessionization + windowed rollups)
+        "event_sessions": Q.q_event_sessions,
+        "event_windowed_counts": Q.q_event_windowed_counts,
         # similarity search over embeddings
         "embedding_topk": Q.q_embedding_topk,
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
@@ -277,6 +283,77 @@ def oracle_sql() -> dict[str, str]:
                    sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
                    round(avg(length(text)), 4) AS avg_chars
             FROM documents GROUP BY source, lang
+        """,
+        "cluster_representatives": f"""
+            WITH clusters AS ({_NEAR_DUP_CLUSTERS_SQL}),
+            j AS (
+              SELECT c.cluster_id, d.doc_id, d.n_chars
+              FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+            ),
+            r AS (
+              SELECT cluster_id, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY n_chars DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM j
+            )
+            SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+                   cluster_size
+            FROM r WHERE rn = 1
+        """,
+        "vocab": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents
+            )
+            SELECT term, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS doc_freq
+            FROM t GROUP BY term
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang, source,
+                   ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 10 AS bucket
+            FROM documents
+            WHERE ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 10 = 0
+        """,
+        "event_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS epoch
+              FROM events
+            ),
+            g AS (
+              SELECT user_id, event_id, epoch,
+                     CASE WHEN epoch - lag(epoch) OVER
+                               (PARTITION BY user_id ORDER BY epoch, event_id)
+                               > 1800
+                            OR lag(epoch) OVER
+                               (PARTITION BY user_id ORDER BY epoch, event_id)
+                               IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM e
+            ),
+            s AS (
+              SELECT user_id, epoch,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY epoch, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM g
+            )
+            SELECT user_id, session_idx::BIGINT AS session_idx,
+                   count(*) AS n_events,
+                   min(epoch) AS start_epoch,
+                   max(epoch) AS end_epoch,
+                   max(epoch) - min(epoch) AS duration_s
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "event_windowed_counts": """
+            SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT
+                     AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         # the ANN's measured recall is 1.0 on the driver corpora (b=4, L=32

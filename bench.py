@@ -155,6 +155,10 @@ def main():
     timed("embedding_near_dup_pairs", lambda: Q.q_embedding_near_dup_pairs(spark, sf_dir).count())
     timed("quality_scores_docs", lambda: Q.q_quality_scores(spark, sf_dir).count())
     timed("token_counts_docs", lambda: Q.q_token_counts(spark, sf_dir).count())
+    timed("vocab_docs", lambda: Q.q_vocab(spark, sf_dir).count())
+    timed("cluster_representatives_docs", lambda: Q.q_cluster_representatives(spark, sf_dir).count())
+    timed("event_sessions", lambda: Q.q_event_sessions(spark, sf_dir).count())
+    timed("event_windowed_counts", lambda: Q.q_event_windowed_counts(spark, sf_dir).count())
     timed("doc_fingerprints_docs", lambda: Q.q_doc_fingerprints(spark, sf_dir).count())
     timed("multimodal_features_docs", lambda: Q.q_multimodal_features(spark, sf_dir).count())
 

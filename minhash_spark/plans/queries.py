@@ -432,8 +432,12 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     b = emb.withColumn("buckets", _ann_bucket_udf()(F.col("v"))).select(
-        "vec_id", "v", F.explode("buckets").alias("bucket")
+        "vec_id", F.explode("buckets").alias("bucket")
     )
+    # candidate dedup on bare id pairs (16 B/row) — carrying the two 64-dim
+    # double vectors through this shuffle would be ~60x the bytes; the
+    # vectors are joined back once per DISTINCT pair (AQE turns these into
+    # broadcasts at small scale; at 10^9 vectors they are sane equi-joins)
     cand = (
         b.alias("a")
         .join(b.alias("c"), "bucket")
@@ -441,13 +445,13 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("c.vec_id").alias("b_id"),
-            F.col("a.v").alias("va"),
-            F.col("c.v").alias("vb"),
         )
         .dropDuplicates(["a_id", "b_id"])
     )
-    scored = cand.select(
-        "a_id", "b_id", _cosine(F.col("va"), F.col("vb")).alias("cos")
+    scored = (
+        cand.join(emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")), "a_id")
+        .join(emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")), "b_id")
+        .select("a_id", "b_id", _cosine(F.col("va"), F.col("vb")).alias("cos"))
     )
     return scored.where(F.col("cos") >= 0.45).select(
         "a_id", "b_id", F.round("cos", 4).alias("cos_sim")
@@ -575,6 +579,137 @@ def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_docs long, n_exact_unique long, n_near_dup_pairs long, "
         "n_clusters long, kept_ratio double",
+    )
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-policy: one representative per near-dup cluster — the doc
+    with the most characters, ties broken by smallest doc_id (a deterministic
+    total order, so Spark and the oracle agree exactly).
+
+    Scale shape: a single partial-aggregable groupBy on cluster_id using a
+    min-of-struct argmin encoding (map-side combine, no window shuffle, no
+    per-cluster row_number sort) — at 10^9 docs this is one shuffle whose
+    combiner has already reduced each map partition to <= |clusters| rows."""
+    clusters = q_near_dup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    # argmin over (-n_chars, doc_id): struct comparison is lexicographic, so
+    # min == (max n_chars, then min doc_id)
+    key = F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("d"))
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.min(key).alias("k"),
+            F.count("*").cast("long").alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            F.col("k.d").alias("rep_doc_id"),
+            (-F.col("k.neg")).cast("long").alias("rep_n_chars"),
+            "cluster_size",
+        )
+    )
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: per whitespace term, total occurrences and document
+    frequency. The classic explode -> two-level aggregate; the first groupBy
+    on (term, doc_id) makes the distinct-doc count partial-aggregable, so
+    both shuffles carry combiner-reduced data at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select("doc_id", F.explode(toks).alias("term"))
+    per_doc = t.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    return per_doc.groupBy("term").agg(
+        F.sum("c").cast("long").alias("n_occurrences"),
+        F.count("*").cast("long").alias("doc_freq"),
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash 10% sample: keep docs whose sha256(text) first-8-hex-digit
+    value is ≡ 0 (mod 10). Deterministic, reproducible across engines and
+    runs, and independent of row order/partitioning — the property a
+    training-data ablation needs. Pure native expressions; the filter is a
+    per-row predicate (no shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.sha2("text", 256), 1, 8), 16, 10).cast("long") % 10
+    return (
+        docs.withColumn("bucket", bucket)
+        .where(F.col("bucket") == 0)
+        .select("doc_id", "lang", "source", F.col("bucket").cast("long").alias("bucket"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# event analytics (events table: sessionization + windowed rollups)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800  # classic 30-minute inactivity gap
+
+
+def _ntz_epoch(col: str) -> F.Column:
+    """Whole-second epoch of a TIMESTAMP_NTZ column, independent of the
+    session timezone (a plain cast would reinterpret NTZ in session-local
+    time; timestampdiff against the NTZ epoch literal does not)."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization: a session breaks after a >30 min gap.
+    lag/cumsum windows over (user_id ORDER BY ts, event_id) then one
+    aggregate per session. All epochs emitted as whole seconds (long) so the
+    oracle compares exactly.
+
+    Scale shape: both window passes and the final groupBy share the SAME
+    hash partitioning on user_id — Catalyst reuses one shuffle; per-user
+    event counts are small (no skew salting needed for web-event data)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ntz_epoch("ts").alias("epoch")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    gap = F.col("epoch") - F.lag("epoch").over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("epoch").alias("start_epoch"),
+        F.max("epoch").alias("end_epoch"),
+        (F.max("epoch") - F.min("epoch")).alias("duration_s"),
+    )
+
+
+def q_event_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: event count and value mass.
+    The batch twin of the streaming operator in
+    minhash_spark/streaming/windows.py (same grouping, same output schema) —
+    one partial-agg shuffle on (window, event_type). sum(value) is rounded to
+    2 dp: inputs are 2-dp doubles, so the true sum is a multiple of 0.01 and
+    rounding absorbs float association order."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            _ntz_epoch("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
     )
 
 

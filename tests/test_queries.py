@@ -118,3 +118,62 @@ def test_embedding_near_dup_clusters_vs_pairs(spark):
     for vid, cid in comp.items():
         if vid not in paired:
             assert cid == vid
+
+
+def test_cluster_representatives_keep_policy(spark):
+    reps = {r["cluster_id"]: r for r in Q.q_cluster_representatives(spark, SF).collect()}
+    clusters = Q.q_near_dup_clusters(spark, SF).collect()
+    chars = {r["doc_id"]: r["n_chars"] for r in
+             Q.load(spark, SF, "documents").select("doc_id", "n_chars").collect()}
+    from collections import defaultdict
+    members = defaultdict(list)
+    for r in clusters:
+        members[r["cluster_id"]].append(r["doc_id"])
+    assert set(reps) == set(members)
+    for cid, docs in members.items():
+        best = sorted(docs, key=lambda d: (-chars[d], d))[0]
+        assert reps[cid]["rep_doc_id"] == best
+        assert reps[cid]["rep_n_chars"] == chars[best]
+        assert reps[cid]["cluster_size"] == len(docs)
+
+
+def test_vocab_mass_conservation(spark):
+    rows = Q.q_vocab(spark, SF).collect()
+    total = sum(r["n_occurrences"] for r in rows)
+    tc = Q.q_token_counts(spark, SF).agg({"n_tokens": "sum"}).first()[0]
+    assert total == tc
+    assert all(r["doc_freq"] <= 500 and r["doc_freq"] >= 1 for r in rows)
+
+
+def test_deterministic_sample_stable_and_unbiased(spark):
+    a = sorted(r["doc_id"] for r in Q.q_deterministic_sample(spark, SF).collect())
+    b = sorted(r["doc_id"] for r in Q.q_deterministic_sample(spark, SF).collect())
+    assert a == b  # reproducible
+    assert 20 <= len(a) <= 90  # ~10% of 500, binomial 3-sigma bounds
+
+
+def test_event_sessions_gap_invariant(spark):
+    rows = Q.q_event_sessions(spark, SF).collect()
+    ev = Q.load(spark, SF, "events")
+    from pyspark.sql import functions as F
+    n_events = ev.count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    # sessions of one user never overlap and are separated by > gap
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for user, sess in by_user.items():
+        sess.sort(key=lambda r: r["session_idx"])
+        for s1, s2 in zip(sess, sess[1:]):
+            assert s2["start_epoch"] - s1["end_epoch"] > 1800
+        for s in sess:
+            assert s["duration_s"] == s["end_epoch"] - s["start_epoch"]
+
+
+def test_event_windowed_counts_totals(spark):
+    rows = Q.q_event_windowed_counts(spark, SF).collect()
+    ev = Q.load(spark, SF, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["window_start"] % 3600 == 0

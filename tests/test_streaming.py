@@ -61,3 +61,52 @@ def test_incremental_dedup_cross_batch_pairs(spark, tmp_path):
     # idempotent drain: nothing new -> no new edges
     run_incremental_dedup(spark, inp, state, ckpt, CFG)
     assert spark.read.parquet(os.path.join(state, "edges")).count() == 1
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """Watermark contract: after the stream drains, emitted rows equal the
+    batch q_event_windowed_counts restricted to windows closed by the
+    watermark (end <= max ts seen at the previous batch - 2h)."""
+    from minhash_spark.plans import queries as Q
+    from minhash_spark.streaming.windows import run_windowed_counts
+
+    sf = "/root/testdata/sf0.001"
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    lo, hi = ev.agg(F.min(epoch), F.max(epoch)).first()
+    split = lo + int((hi - lo) * 0.8)
+
+    part_a = ev.where(epoch <= split)
+    part_b = ev.where(epoch > split)
+    max_b = hi
+
+    part_a.coalesce(1).write.mode("append").parquet(inp)
+    run_windowed_counts(spark, inp, out, ckpt)  # run 1: watermark still epoch 0
+    part_b.coalesce(1).write.mode("append").parquet(inp)
+    run_windowed_counts(spark, inp, out, ckpt)  # run 2: watermark = max(A) - 2h
+    # sentinel far past the end so run 3's watermark closes every real window
+    spark.createDataFrame(
+        [(10**9, "sentinel", 0.0, "{}")], "user_id long, event_type string, value double, props string"
+    ).withColumn("event_id", F.lit(10**9)).withColumn(
+        "ts", F.expr(f"TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_interval(0,0,0,0,0,0,{max_b + 4 * 3600})")
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props").coalesce(
+        1
+    ).write.mode("append").parquet(inp)
+    run_windowed_counts(spark, inp, out, ckpt)  # run 3: watermark = max(B) - 2h
+    run_windowed_counts(spark, inp, out, ckpt)  # run 4: watermark = sentinel - 2h
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+        if r["event_type"] != "sentinel"
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in Q.q_event_windowed_counts(spark, sf).collect()
+    }
+    assert got == want
+    # each real window emitted exactly once across the four restarts; the
+    # sentinel's own window stays open (watermark never passes it), so the
+    # sink holds exactly the real windows
+    assert len(spark.read.parquet(out).collect()) == len(got)

@@ -40,6 +40,9 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if len(sys.argv) > 2:  # optional comma-separated query-name filter
+        only = set(sys.argv[2].split(","))
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
