@@ -103,9 +103,15 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minhash_spark.functions.udfs import minhash_struct_udf
 
     sig = minhash_struct_udf(DOC_CFG)
-    sigs = docs.select(
-        F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s")
-    ).select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
+    # materialize signatures once: they feed BOTH the bucket explode and the
+    # verify stage's two signature joins — without this the kernel UDF pass
+    # runs twice (the batch pipeline checkpoints signatures to a table for
+    # the same reason)
+    sigs = (
+        docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
+        .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
+        .localCheckpoint()
+    )
     buckets = lsh.explode_buckets(sigs)
     pairs, _overflow = lsh.candidate_pairs(buckets, DOC_CFG.max_bucket_size)
     contents = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("content"))
@@ -229,8 +235,12 @@ def q_char_ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from minhash_spark.functions.udfs import minhash_struct_udf
 
     sig = minhash_struct_udf(cfg)
-    sigs = docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s")).select(
-        "rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands")
+    # materialized once — feeds the bucket explode AND verify's signature
+    # joins (see _near_dup_edges)
+    sigs = (
+        docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
+        .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
+        .localCheckpoint()
     )
     buckets = lsh.explode_buckets(sigs)
     pairs, _ = lsh.candidate_pairs(buckets, cfg.max_bucket_size)
