@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
         "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
         "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
+        "similar_docs_topk": Q.q_similar_docs_topk,
+        "signature_similar_docs": Q.q_signature_similar_docs,
         # multimodal plumbing (stub decoder, real Spark plumbing)
         "multimodal_features": Q.q_multimodal_features,
     }
@@ -346,6 +348,34 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch) AS end_epoch,
                    max(epoch) - min(epoch) AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "similar_docs_topk": """
+            WITH t0 AS (
+              SELECT doc_id, regexp_extract_all(text, '[0-9A-Za-z_]+') AS w
+              FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(list_transform(
+                               generate_series(1, len(w)-2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                     END AS toks
+              FROM t0
+            ), q AS (
+              SELECT doc_id AS query_id, toks AS qtoks FROM t WHERE doc_id < 10
+            ), s AS (
+              SELECT q.query_id, t.doc_id,
+                     round(len(list_intersect(q.qtoks, t.toks))::DOUBLE
+                           / (len(q.qtoks) + len(t.toks)
+                              - len(list_intersect(q.qtoks, t.toks))), 6) AS jaccard
+              FROM q JOIN t ON t.doc_id != q.query_id
+            ), r AS (
+              SELECT query_id, doc_id, jaccard,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY jaccard DESC, doc_id) AS rank
+              FROM s
+            )
+            SELECT query_id, doc_id, jaccard, rank FROM r WHERE rank <= 5
         """,
         "event_windowed_counts": """
             SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT

@@ -652,6 +652,91 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity SEARCH (the reference's actual query surface — find docs
+    similar to a given one, cf. README.md:70-77 term-query-on-minhash): for
+    each query doc (doc_id < 10), the top-5 other docs by exact word-trigram
+    Jaccard, ties broken by doc_id.
+
+    Brute-force baseline entirely in native expressions (shingle arrays via
+    transform(sequence), array_intersect — whole-stage codegen, no UDF);
+    the 10-row query side is the broadcast side, the corpus is streamed, so
+    the same plan holds at 10^9 docs. The LSH-bucketed path is the scale
+    variant when the query set is large (see _near_dup_edges)."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.expr("regexp_extract_all(text, '[0-9A-Za-z_]+', 0)")
+    # word trigram shingles, or the whole token-joined text when <= 3 tokens
+    # (same rule as the dedup tokenizer / the oracle SQL)
+    tri = F.expr(
+        "CASE WHEN size(w) <= 3 THEN array(array_join(w, ' ')) "
+        "ELSE array_distinct(transform(sequence(0, size(w)-3), "
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) END"
+    )
+    t = docs.select("doc_id", w.alias("w")).select("doc_id", tri.alias("toks"))
+    q = t.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("toks").alias("qtoks")
+    )
+    inter = F.size(F.array_intersect("qtoks", "toks")).cast("double")
+    union = (F.size("qtoks") + F.size("toks")).cast("double") - inter
+    scored = (
+        t.crossJoin(F.broadcast(q))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", F.round(inter / union, 6).alias("jaccard"))
+    )
+    from pyspark.sql.window import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .where(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "jaccard", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def q_signature_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's native search semantics: rank by b-bit signature
+    bit-match fraction (MinHash.compare, SURVEY §2.1.6) against STORED
+    signatures — no content touched at query time, exactly how the ES plugin
+    serves similarity search over its keyword-indexed signature field.
+    Top-5 per query doc (doc_id < 10), ties by doc_id. rows-only: murmur
+    signature bytes are not SQL-computable; the estimator itself is pinned
+    by kernel property tests (test_kernel.py)."""
+    docs = load(spark, sf_dir, "documents")
+    from minhash_spark.functions.udfs import minhash_struct_udf
+
+    sig = minhash_struct_udf(DOC_CFG)
+    sigs = (
+        docs.select("doc_id", sig(F.col("text")).alias("s"))
+        .select("doc_id", F.col("s.sig").alias("sig"))
+        .localCheckpoint()
+    )
+    q = sigs.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    bitmatch = sig_bitmatch_udf()
+    scored = (
+        sigs.crossJoin(F.broadcast(q))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(bitmatch(F.col("qsig"), F.col("sig")), 6).alias("bit_match"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("bit_match"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .where(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "bit_match", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # event analytics (events table: sessionization + windowed rollups)
 # ---------------------------------------------------------------------------

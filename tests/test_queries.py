@@ -177,3 +177,42 @@ def test_event_windowed_counts_totals(spark):
     assert sum(r["n_events"] for r in rows) == ev.count()
     for r in rows:
         assert r["window_start"] % 3600 == 0
+
+
+def test_similar_docs_topk_contract(spark):
+    rows = Q.q_similar_docs_topk(spark, SF).collect()
+    assert len(rows) == 50  # 10 queries x top-5
+    from collections import defaultdict
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        assert all(r["doc_id"] != qid for r in rs)
+        # jaccard non-increasing with rank; ties broken by doc_id
+        for a, b in zip(rs, rs[1:]):
+            assert a["jaccard"] > b["jaccard"] or (
+                a["jaccard"] == b["jaccard"] and a["doc_id"] < b["doc_id"]
+            )
+
+
+def test_signature_similar_agrees_with_exact_at_top(spark):
+    """The signature estimator's top hit should be the exact-Jaccard top hit
+    for queries whose top-1 is a clear near-dup (planted pairs)."""
+    from collections import defaultdict
+    exact5 = defaultdict(set)
+    top1 = {}
+    for r in Q.q_similar_docs_topk(spark, SF).collect():
+        exact5[r["query_id"]].add(r["doc_id"])
+        if r["rank"] == 1:
+            top1[r["query_id"]] = r
+    est = {r["query_id"]: r for r in Q.q_signature_similar_docs(spark, SF).collect()
+           if r["rank"] == 1}
+    assert set(est) == set(exact5)
+    strong = [q for q, r in top1.items() if r["jaccard"] >= 0.8]
+    assert strong, "corpus should contain planted near-dups among doc_id<10"
+    # 1-bit/128-hash estimator noise can reorder same-cluster members with
+    # near-equal Jaccard, but the top estimate must land in the exact top-5
+    for q in strong:
+        assert est[q]["doc_id"] in exact5[q]
