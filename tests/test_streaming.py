@@ -110,3 +110,50 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     # sentinel's own window stays open (watermark never passes it), so the
     # sink holds exactly the real windows
     assert len(spark.read.parquet(out).collect()) == len(got)
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Closed-session stream (applyInPandasWithState, event-time timeout)
+    equals the batch sessionization once a sentinel advances the watermark
+    past every real session's gap deadline."""
+    from minhash_spark.plans import queries as Q
+    from minhash_spark.streaming.sessions import run_streaming_sessions
+
+    sf = "/root/testdata/sf0.001"
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    lo, hi = ev.agg(F.min(epoch), F.max(epoch)).first()
+    split = lo + int((hi - lo) * 0.6)
+
+    ev.where(epoch <= split).coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_sessions(spark, inp, out, ckpt)
+    ev.where(epoch > split).coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_sessions(spark, inp, out, ckpt)
+    # sentinel user far in the future: watermark passes every gap deadline
+    spark.createDataFrame(
+        [(10**9, 10**9, "sentinel", 0.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).withColumn(
+        "ts",
+        F.expr(
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_interval(0,0,0,0,0,0,{hi + 10 * 3600})"
+        ),
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props").coalesce(
+        1
+    ).write.mode("append").parquet(inp)
+    run_streaming_sessions(spark, inp, out, ckpt)
+    run_streaming_sessions(spark, inp, out, ckpt)  # fire the timeouts
+
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["start_epoch"], r["end_epoch"], r["duration_s"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != 10**9
+    }
+    want = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["start_epoch"], r["end_epoch"], r["duration_s"])
+        for r in Q.q_event_sessions(spark, sf).collect()
+    }
+    assert got == want
