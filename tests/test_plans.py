@@ -1,0 +1,81 @@
+"""Physical-plan audits: pin the scale-critical plan shapes so a regression
+(lost column pruning, flipped broadcast side, lost partial aggregation,
+redundant shuffles) fails loudly at test time, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from minhash_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_sample_prunes_columns(spark):
+    """deterministic_sample must not read the full row — only the projected
+    columns + the filter input reach the parquet scan."""
+    plan = _formatted(Q.q_deterministic_sample(spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "lang", "source", "text"}, cols
+
+
+def test_rollup_prunes_columns(spark):
+    plan = _formatted(Q.q_source_rollup(spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"source", "lang", "text"}, cols
+
+
+def test_similar_docs_broadcasts_query_side(spark):
+    """The 10-row query side must be the broadcast side (a flipped broadcast
+    ships the corpus to every executor and OOMs at scale)."""
+    plan = _plan(Q.q_similar_docs_topk(spark, SF))
+    assert "Broadcast" in plan, plan
+    # the build side carries qtoks (the aliased query shingles)
+    bcast = plan[plan.index("Broadcast"):]
+    assert "qtoks" in bcast[:4000], bcast[:1500]
+
+
+def test_embedding_topk_broadcasts_query_side(spark):
+    plan = _plan(Q.q_embedding_topk(spark, SF))
+    assert "Broadcast" in plan, plan
+
+
+def test_source_rollup_partial_aggregation(spark):
+    """groupBy must map-side combine: two HashAggregate levels (partial +
+    final) around one Exchange."""
+    plan = _plan(Q.q_source_rollup(spark, SF))
+    n_agg = len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan))
+    assert n_agg >= 2, plan
+    assert "Exchange" in plan
+
+
+def test_event_sessions_single_user_shuffle(spark):
+    """Both window passes and the session aggregate share ONE hash
+    partitioning on user_id — exactly one exchange on user_id, no
+    re-shuffle between the lag window, the cumsum window and the groupBy."""
+    plan = _plan(Q.q_event_sessions(spark, SF))
+    user_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, plan
+
+
+def test_quality_filter_stays_whole_stage_codegen(spark):
+    """Native-expression queries must not contain Python evals in the plan."""
+    for q in (Q.q_quality_filter, Q.q_token_counts, Q.q_lang_id, Q.q_source_rollup):
+        plan = _plan(q(spark, SF))
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan, (
+            q.__name__, plan)
