@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_signatures": Q.q_minhash_signatures,
         "minhash_collapse": Q.q_minhash_collapse,
+        "multi_signatures": Q.q_multi_signatures,
         "simhash_near_dup_pairs": Q.q_simhash_near_dup_pairs,
         "char_ngram_dup_pairs": Q.q_char_ngram_dup_pairs,
         "near_dup_cluster_sizes": Q.q_near_dup_cluster_sizes,

@@ -168,6 +168,31 @@ def q_minhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``copy_to`` fan-out surface (MinHashPluginTest.java:106-113 routes
+    one source field into three minhash fields with different analyzers):
+    the reference's three test analyzer configs computed in ONE kernel pass
+    (shared tokenize + factorize, one wide (tokens x 288-seed) hash fold).
+    rows-only: murmur signature bytes are not SQL-computable; the per-config
+    byte-exactness is pinned by the golden-vector pytest suite."""
+    from minhash_spark.functions.udfs import multi_config_struct_udf
+
+    configs = {
+        # MinHashPluginTest.java:79-89: default; seed=1000; seed/bit/size
+        "default": MinHashConfig(seed=0, size=128, bit=1, tokenizer="word"),
+        "seeded": MinHashConfig(seed=1000, size=128, bit=1, tokenizer="word"),
+        "compact": MinHashConfig(seed=1000, size=32, bit=2, tokenizer="word", num_bands=8, rows_per_band=4),
+    }
+    fan = multi_config_struct_udf(configs)
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fan(F.col("text")).alias("m")).select(
+        "doc_id",
+        F.col("m.default.sig_b64").alias("sig_default"),
+        F.col("m.seeded.sig_b64").alias("sig_seeded"),
+        F.col("m.compact.sig_b64").alias("sig_compact"),
+    )
+
+
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine extension: 64-bit SimHash, candidates via 4x16-bit band equality
     (guarantees recall 1.0 for hamming distance <= 3), verified by exact

@@ -216,3 +216,22 @@ def test_signature_similar_agrees_with_exact_at_top(spark):
     # near-equal Jaccard, but the top estimate must land in the exact top-5
     for q in strong:
         assert est[q]["doc_id"] in exact5[q]
+
+
+def test_multi_signatures_match_single_config(spark):
+    """One-pass copy_to fan-out == three independent single-config passes."""
+    rows = {r["doc_id"]: r for r in Q.q_multi_signatures(spark, SF).collect()}
+    assert len(rows) == 500
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.functions.udfs import minhash_b64_udf
+    from pyspark.sql import functions as F
+    docs = Q.load(spark, SF, "documents")
+    for name, cfg in {
+        "sig_default": MinHashConfig(seed=0, size=128, bit=1, tokenizer="word"),
+        "sig_seeded": MinHashConfig(seed=1000, size=128, bit=1, tokenizer="word"),
+        "sig_compact": MinHashConfig(seed=1000, size=32, bit=2, tokenizer="word", num_bands=8, rows_per_band=4),
+    }.items():
+        b64 = minhash_b64_udf(cfg)
+        single = {r["doc_id"]: r["s"] for r in
+                  docs.select("doc_id", b64(F.col("text")).alias("s")).collect()}
+        assert all(rows[d][name] == single[d] for d in rows), name
