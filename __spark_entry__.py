@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": Q.q_cluster_representatives,
         "vocab": Q.q_vocab,
         "deterministic_sample": Q.q_deterministic_sample,
+        "repetition_scores": Q.q_repetition_scores,
+        "boilerplate_spans": Q.q_boilerplate_spans,
+        "decontaminate": Q.q_decontaminate,
         "doc_fingerprints": Q.q_doc_fingerprints,
         # event analytics (sessionization + windowed rollups)
         "event_sessions": Q.q_event_sessions,
@@ -62,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search over embeddings
         "embedding_topk": Q.q_embedding_topk,
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
+        "embedding_ann_ivf": Q.q_embedding_ann_ivf,
         "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
         "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
         "similar_docs_topk": Q.q_similar_docs_topk,
@@ -161,6 +165,21 @@ _EMBEDDING_TOPK_SQL = """
     )
     SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rk AS rank
     FROM r WHERE rk <= 5
+"""
+
+
+# word-5-gram spans, same tokenizer + <n-token whole-text rule as the Spark
+# side (queries._doc_spans)
+_DOC_SPANS_SQL = """
+    WITH tw AS (
+      SELECT doc_id, regexp_extract_all(text, '[0-9A-Za-z_]+') AS w FROM documents
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(w)-4),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                          w[i+3] || ' ' || w[i+4])) END) AS span
+    FROM tw
 """
 
 
@@ -386,11 +405,57 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "repetition_scores": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), d AS (
+              SELECT doc_id, w,
+                     list_transform(generate_series(1, len(w)-1),
+                                    i -> w[i] || ' ' || w[i+1]) AS bg
+              FROM t WHERE len(w) >= 2
+            )
+            SELECT doc_id,
+                   len(w)::BIGINT AS n_tokens,
+                   len(list_distinct(w))::BIGINT AS n_distinct,
+                   len(list_distinct(w))::DOUBLE / len(w) AS distinct_ratio,
+                   list_max(list_transform(list_distinct(w),
+                       u -> len(list_filter(w, x -> x = u))))::DOUBLE / len(w)
+                     AS top_token_ratio,
+                   list_max(list_transform(list_distinct(bg),
+                       u -> len(list_filter(bg, x -> x = u))))::DOUBLE / len(bg)
+                     AS top_bigram_ratio
+            FROM d
+        """,
+        "boilerplate_spans": f"""
+            WITH s AS ({_DOC_SPANS_SQL}),
+            df AS (SELECT span, count(*) AS df FROM s GROUP BY span)
+            SELECT s.doc_id,
+                   count(*)::BIGINT AS n_spans,
+                   sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+                   sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                     AS shared_ratio
+            FROM s JOIN df USING (span) GROUP BY s.doc_id
+        """,
+        "decontaminate": f"""
+            WITH s AS ({_DOC_SPANS_SQL})
+            SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+                   count(*)::BIGINT AS n_shared_spans
+            FROM s tr JOIN s ev USING (span)
+            WHERE tr.doc_id >= 20 AND ev.doc_id < 20
+            GROUP BY 1, 2
+        """,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         # the ANN's measured recall is 1.0 on the driver corpora (b=4, L=32
         # tuned to the corpus's near-random cosine operating point), so the
         # exact brute-force top-5 IS the expected ANN output here.
         "embedding_ann_lsh": _EMBEDDING_TOPK_SQL,
+        # embedding_ann_ivf is rows-only BY DESIGN: the sandbox embeddings are
+        # near-random (median pairwise cos ~ 0, true top-5 at ~0.4), where NO
+        # cell-probing index reaches recall 1.0 sublinearly — IVF probes
+        # nprobe/nlist of the corpus and k-means cells are not SQL-expressible.
+        # Its recall-1.0 behavior on a CLUSTERED (dedup-grade) corpus is
+        # pytest-pinned instead (tests/test_queries.py::test_embedding_ann_ivf_*).
         "char_ngram_dup_pairs": _CHAR_NGRAM_PAIRS_SQL,
         # LSH candidate recall at tau=0.45 measured 1.0 on every SF, so the
         # exact all-pairs SQL is the expected output (see q_embedding_near_dup_pairs)

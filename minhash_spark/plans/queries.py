@@ -952,3 +952,227 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(extract, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene: repetition, boilerplate spans, eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition quality signals (Gopher/C4-style filters): distinct
+    token ratio, most-frequent-token mass, most-frequent-bigram mass.
+
+    Everything is computed INSIDE the row with higher-order functions
+    (transform/filter/array_distinct) — zero shuffles, whole-stage codegen,
+    the per-row cost is O(tokens * distinct_tokens) on ~100-token docs. At
+    100 TB this is the ideal shape: a pure map over the scan with column
+    pruning down to (doc_id, text)."""
+    def top_count(col: str) -> F.Column:
+        return F.array_max(
+            F.transform(F.array_distinct(col), lambda t: F.size(F.filter(col, lambda x: x == t)))
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("w")).where(F.size("w") >= 2)
+    big = F.zip_with(
+        F.slice("w", 1, F.size("w") - 1),
+        F.slice(F.col("w"), 2, F.size("w") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    d = d.select("doc_id", "w", big.alias("bg"))
+    return d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+        (F.size(F.array_distinct("w")).cast("double") / F.size("w")).alias("distinct_ratio"),
+        (top_count("w").cast("double") / F.size("w")).alias("top_token_ratio"),
+        (top_count("bg").cast("double") / F.size("bg")).alias("top_bigram_ratio"),
+    )
+
+
+BOILERPLATE_N = 5  # word n-gram span width
+BOILERPLATE_MIN_DF = 2  # a span in >= this many docs is "shared"
+
+
+def _doc_spans(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, span) rows: distinct word n-gram spans of the [0-9A-Za-z_]+
+    token stream (docs with fewer than n tokens contribute their whole
+    token-joined text, same rule as the dedup tokenizer). The token array is
+    materialized once per row before the span transform — the regex runs once
+    per doc, not once per span."""
+    parts = ", ".join(f"w[i+{j}]" for j in range(n))
+    spans = F.expr(
+        f"CASE WHEN size(w) < {n} THEN array(array_join(w, ' ')) "
+        f"ELSE array_distinct(transform(sequence(0, size(w)-{n}), "
+        f"i -> concat_ws(' ', {parts}))) END"
+    )
+    return docs.select(
+        "doc_id", F.expr("regexp_extract_all(text, '[0-9A-Za-z_]+', 0)").alias("w")
+    ).select("doc_id", F.explode(spans).alias("span"))
+
+
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span detection (license headers, templated text): per doc,
+    the fraction of its distinct word-5-gram spans that also occur in at
+    least BOILERPLATE_MIN_DF-1 OTHER docs.
+
+    Plan: explode distinct spans -> span doc-frequency (partial-agg groupBy)
+    -> join back on span -> per-doc agg. Both shuffles are combiner-reduced;
+    the span-df table is the same artifact the pipeline's common-shingle
+    filter builds from a sample (pipeline.py) — here exact, corpus-wide."""
+    docs = load(spark, sf_dir, "documents")
+    spans = _doc_spans(docs, BOILERPLATE_N)
+    span_df = spans.groupBy("span").agg(F.count("*").alias("df"))
+    joined = spans.join(span_df, "span")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("df") >= BOILERPLATE_MIN_DF, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_spans")).alias("shared_ratio"),
+        )
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: which training docs share a word-5-gram span
+    with a held-out eval doc (doc_id < 20)? Returns (train_id, eval_id,
+    n_shared_spans) — the standard benchmark-overlap sweep run before
+    training.
+
+    Plan: the EVAL side (tiny, fixed) is broadcast after exploding its spans;
+    the training corpus streams through map-side, exploding spans and
+    hash-joining against the broadcast — no shuffle of the big side, which is
+    the only shape that survives a 10^12-doc corpus vs a ~10^5-span eval set."""
+    docs = load(spark, sf_dir, "documents")
+    spans = _doc_spans(docs, BOILERPLATE_N)
+    ev = spans.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("eval_id"), "span"
+    )
+    tr = spans.where(F.col("doc_id") >= 20).select(F.col("doc_id").alias("train_id"), "span")
+    return (
+        tr.join(F.broadcast(ev), "span")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared_spans"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: IVF (coarse-quantizer) ANN — the scale path alongside LSH
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16  # k-means coarse centroids (nlist)
+IVF_NPROBE = 4  # cells probed per query
+IVF_SAMPLE_MOD = 4  # train on ~1/4 of vectors (hash-sampled, deterministic)
+IVF_KMEANS_ITERS = 10
+
+
+def _spherical_kmeans(X: "np.ndarray", k: int, iters: int, seed: int) -> "np.ndarray":
+    """Plain spherical k-means (cosine metric) on a bounded driver-side
+    sample; deterministic via seeded init. Returns L2-normalized centroids
+    (k, dim). Empty cells keep their previous centroid."""
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=min(k, len(Xn)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(len(C)):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 1e-12:
+                    C[c] = m / nrm
+    return C
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    """Train the coarse quantizer on a DETERMINISTIC hash-sample of the
+    corpus. The collect is bounded by the sample mod (at 10^12 vectors the
+    mod is raised so the sample stays ~10^5 rows — quantizer quality needs a
+    fixed-size sample, not the corpus); 10 numpy iterations on the driver
+    replace an iterative distributed k-means, which would be 10 full-corpus
+    shuffles for no accuracy gain."""
+    emb = load(spark, sf_dir, "embeddings")
+    sample = (
+        emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(IVF_SAMPLE_MOD)) == 0)
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    return _spherical_kmeans(X, IVF_CELLS, IVF_KMEANS_ITERS, seed=1234)
+
+
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest spherical-k-means centroid
+    (one Arrow-batched matmul per partition — the vectorized scale path),
+    probe the IVF_NPROBE nearest cells per query vector, exact cosine within
+    the probed cells, top-5.
+
+    Scale shape: the corpus is scanned once to build (cell, vec) — a pure
+    map; the query side (10 rows x nprobe cells) is broadcast and the
+    candidate set is the equi-join on cell, i.e. ~nprobe/nlist of the corpus
+    streams past each query, never a full cross join. Centroids ride inside
+    the UDF closure (k x dim doubles — kilobytes).
+
+    Operating point: IVF's recall comes from cluster structure. On a
+    dedup-grade corpus (tight clusters, the SemDeDup setting) recall is 1.0
+    at nprobe=4/16 — pytest-pinned on a planted clustered corpus
+    (test_embedding_ann_ivf_recall_on_clustered). The sandbox embeddings
+    table is near-random (median pairwise cos ~ 0; true top-5 at cos ~ 0.4),
+    where ANY cell-probing index degrades toward exhaustive search — measured
+    recall there is ~0.56 at 4/16 probes (the multi-table LSH variant covers
+    that regime); hence rows-only in the driver gate."""
+    from pyspark.sql.window import Window
+
+    C = _ivf_centroids(spark, sf_dir)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = Vn @ C.T
+        order = np.argsort(-sims, axis=1)[:, :IVF_NPROBE].astype(np.int32)
+        return pd.Series(list(order))
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # cell assignment = first (nearest) probe cell
+    assigned = emb.withColumn("cell", probe_cells(F.col("v"))[0])
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(probe_cells(F.col("v"))).alias("cell"),
+        )
+    )
+    cand = assigned.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos_sim"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )

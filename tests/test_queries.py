@@ -235,3 +235,108 @@ def test_multi_signatures_match_single_config(spark):
         single = {r["doc_id"]: r["s"] for r in
                   docs.select("doc_id", b64(F.col("text")).alias("s")).collect()}
         assert all(rows[d][name] == single[d] for d in rows), name
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene: repetition, boilerplate spans, decontamination, IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_scores_match_python(spark):
+    rows = {r["doc_id"]: r for r in Q.q_repetition_scores(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20).collect()
+    import collections
+
+    for d in docs:
+        w = d["text"].strip().split()
+        if len(w) < 2:
+            assert d["doc_id"] not in rows
+            continue
+        r = rows[d["doc_id"]]
+        assert r["n_tokens"] == len(w)
+        assert r["n_distinct"] == len(set(w))
+        assert abs(r["top_token_ratio"] - max(collections.Counter(w).values()) / len(w)) < 1e-12
+        bg = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        assert abs(r["top_bigram_ratio"] - max(collections.Counter(bg).values()) / len(bg)) < 1e-12
+
+
+def test_boilerplate_spans_bounds_and_planted(spark, tmp_path):
+    # driver corpus: ratios well-formed
+    rows = Q.q_boilerplate_spans(spark, SF).collect()
+    assert len(rows) == 500
+    assert all(0 <= r["n_shared"] <= r["n_spans"] for r in rows)
+    # planted: three docs share one 5-gram span ("alpha beta gamma delta eps")
+    shared = "alpha beta gamma delta eps"
+    data = [
+        (0, f"{shared} one two three four five six"),
+        (1, f"zero {shared} seven eight nine ten"),
+        (2, f"{shared}"),
+        (3, "nothing in common with anyone here at all"),
+    ]
+    p = str(tmp_path / "planted")
+    spark.createDataFrame(data, "doc_id long, text string").write.parquet(
+        f"{p}/documents.parquet"
+    )
+    got = {r["doc_id"]: r for r in Q.q_boilerplate_spans(spark, p).collect()}
+    assert got[0]["n_shared"] >= 1 and got[1]["n_shared"] >= 1 and got[2]["n_shared"] >= 1
+    assert got[3]["n_shared"] == 0
+    assert got[2]["shared_ratio"] == 1.0  # its only span IS the shared one
+
+
+def test_decontaminate_planted_overlap(spark, tmp_path):
+    # eval doc 3's text is embedded verbatim inside train doc 25
+    ev_text = "the quick brown fox jumps over the lazy dog tonight"
+    data = [
+        (3, ev_text),
+        (4, "completely unrelated eval document text with no overlap here"),
+        (25, f"prefix words before {ev_text} and suffix words after"),
+        (26, "another clean training document that shares nothing at all"),
+    ]
+    p = str(tmp_path / "decon")
+    spark.createDataFrame(data, "doc_id long, text string").write.parquet(
+        f"{p}/documents.parquet"
+    )
+    got = {(r["train_id"], r["eval_id"]): r["n_shared_spans"] for r in Q.q_decontaminate(spark, p).collect()}
+    assert (25, 3) in got and got[(25, 3)] >= 5  # many shared 5-gram spans
+    assert all(k == (25, 3) for k in got)
+
+
+def test_embedding_ann_ivf_recall_on_clustered(spark, tmp_path):
+    """IVF's contract: recall 1.0 at nprobe<<nlist on a CLUSTERED corpus
+    (the dedup-grade/SemDeDup setting — see q_embedding_ann_ivf docstring)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(500):
+        c = vid % 10  # queries 0..9 land in 10 distinct clusters
+        v = centers[c] + 0.05 * rng.standard_normal(64)
+        rows.append((vid, [float(x) for x in v], c))
+    p = str(tmp_path / "clustered")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").write.parquet(
+        f"{p}/embeddings.parquet"
+    )
+    brute = Q.q_embedding_topk(spark, p).collect()
+    ivf = Q.q_embedding_ann_ivf(spark, p).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(truth) == 50
+    recall = len(got & truth) / len(truth)
+    assert recall == 1.0, f"IVF recall {recall} < 1.0 on clustered corpus"
+
+
+def test_embedding_ann_ivf_scores_exact_on_overlap(spark):
+    """On the near-random driver corpus the candidate set shrinks to
+    ~nprobe/nlist of the corpus; whatever IVF returns must carry EXACT
+    cosines (it always returns a full top-5 per query)."""
+    brute = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in Q.q_embedding_topk(spark, SF).collect()}
+    ivf = Q.q_embedding_ann_ivf(spark, SF).collect()
+    assert len(ivf) == 50
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r)
+        if (r["query_id"], r["neighbor_id"]) in brute:
+            assert abs(r["cos_sim"] - brute[(r["query_id"], r["neighbor_id"])]) < 1e-9
+    assert all(len(v) == 5 for v in per_q.values())
