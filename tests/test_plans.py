@@ -79,3 +79,43 @@ def test_quality_filter_stays_whole_stage_codegen(spark):
         plan = _plan(q(spark, SF))
         assert "PythonUDF" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan, (
             q.__name__, plan)
+
+
+def test_repetition_scores_zero_shuffle_native(spark):
+    """repetition_scores is a pure map: no Exchange, no Python evals."""
+    plan = _plan(Q.q_repetition_scores(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The (tiny) eval-span side must be the broadcast build side; the
+    training corpus must never be shuffled for the join."""
+    plan = _plan(Q.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # the only exchange allowed is the final groupBy aggregation (plus the
+    # broadcast exchange itself) — no hashpartitioning on `span`
+    span_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "span" in ln
+    ]
+    assert not span_shuffles, plan
+
+
+def test_boilerplate_spans_partial_aggregation(spark):
+    """span doc-frequency and the per-doc rollup must both map-side combine."""
+    plan = _plan(Q.q_boilerplate_spans(spark, SF))
+    n_agg = len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan))
+    assert n_agg >= 4, plan  # (partial+final) x (span-df, per-doc)
+
+
+def test_embedding_ann_ivf_broadcasts_query_probes(spark):
+    """IVF candidate generation joins the corpus against BROADCAST query
+    probes — the corpus side must not be shuffled on cell."""
+    plan = _plan(Q.q_embedding_ann_ivf(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    cell_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "cell" in ln
+    ]
+    assert not cell_shuffles, plan
