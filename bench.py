@@ -161,6 +161,10 @@ def main():
     timed("event_windowed_counts", lambda: Q.q_event_windowed_counts(spark, sf_dir).count())
     timed("doc_fingerprints_docs", lambda: Q.q_doc_fingerprints(spark, sf_dir).count())
     timed("multimodal_features_docs", lambda: Q.q_multimodal_features(spark, sf_dir).count())
+    timed("repetition_scores_docs", lambda: Q.q_repetition_scores(spark, sf_dir).count())
+    timed("boilerplate_spans_docs", lambda: Q.q_boilerplate_spans(spark, sf_dir).count())
+    timed("decontaminate_docs", lambda: Q.q_decontaminate(spark, sf_dir).count())
+    timed("embedding_ann_ivf", lambda: Q.q_embedding_ann_ivf(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 2)
     print(

@@ -23,16 +23,54 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_manifest.json"
 
 
-def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers on the driver (no Spark job — stage
-    publishes should not pay a cluster round-trip for bookkeeping)."""
+MAX_PARTITION_DETAIL = 4096  # per-file rows listed in full up to this many files
+
+
+def _parquet_partition_stats(path: str) -> tuple[int, list[dict], dict]:
+    """Per-partition lineage from parquet footers on the driver (no Spark job
+    — stage publishes should not pay a cluster round-trip for bookkeeping).
+
+    Returns (total_rows, partitions, stats): ``partitions`` lists each data
+    file's relative path, row count, and byte size (truncated past
+    MAX_PARTITION_DETAIL files — the aggregate stats always cover ALL files);
+    ``stats`` summarizes the row distribution (count/min/max/mean and
+    max/mean skew ratio) so a skewed stage is visible from the manifest alone."""
     import pyarrow.parquet as pq
 
+    parts: list[dict] = []
+    rows_per_file: list[int] = []
     total = 0
     for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            n = pq.ParquetFile(full).metadata.num_rows
+            total += n
+            rows_per_file.append(n)
+            if len(parts) < MAX_PARTITION_DETAIL:
+                parts.append(
+                    {
+                        "file": os.path.relpath(full, path),
+                        "rows": n,
+                        "bytes": os.stat(full).st_size,
+                    }
+                )
+    n_files = len(rows_per_file)
+    mean = total / n_files if n_files else 0.0
+    stats = {
+        "n_files": n_files,
+        "min_rows": min(rows_per_file) if n_files else 0,
+        "max_rows": max(rows_per_file) if n_files else 0,
+        "mean_rows": round(mean, 1),
+        "skew_max_over_mean": round(max(rows_per_file) / mean, 3) if mean else 0.0,
+        "detail_truncated": n_files > MAX_PARTITION_DETAIL,
+    }
+    return total, parts, stats
+
+
+def _parquet_rows(path: str) -> int:
+    total, _parts, _stats = _parquet_partition_stats(path)
     return total
 
 
@@ -117,7 +155,7 @@ class TableIO:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        rows = _parquet_rows(tmp)
+        rows, partitions, pstats = _parquet_partition_stats(tmp)
         manifest = {
             "snapshot_id": uuid.uuid4().hex,
             "config_hash": config_hash,
@@ -128,6 +166,8 @@ class TableIO:
             "wall_s": round(time.time() - t0, 3),
             "written_at": time.time(),
             "metrics": extra_metrics or {},
+            "partitions": partitions,
+            "partition_stats": pstats,
         }
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)

@@ -100,3 +100,19 @@ def test_tableio_atomic_publish_no_tmp_left(spark, tmp_path):
     # manifest is valid JSON inside the table dir
     with open(os.path.join(str(tmp_path), "t", "_manifest.json")) as f:
         assert json.load(f)["rows"] == 3
+
+
+def test_tableio_manifest_per_partition_lineage(spark, tmp_path):
+    from minhash_spark.sources.io import TableIO
+
+    io = TableIO(str(tmp_path / "ckpt"))
+    df = spark.range(1000).withColumn("k", (F.col("id") % 7).cast("int")).repartition(4)
+    m = io.write(df, "t", config_hash="abc")
+    parts = m["partitions"]
+    stats = m["partition_stats"]
+    assert stats["n_files"] == len(parts) > 1
+    assert sum(p["rows"] for p in parts) == m["rows"] == 1000
+    assert all(p["bytes"] > 0 and p["file"].endswith(".parquet") for p in parts)
+    assert stats["min_rows"] <= stats["mean_rows"] <= stats["max_rows"]
+    assert stats["skew_max_over_mean"] >= 1.0
+    assert stats["detail_truncated"] is False
