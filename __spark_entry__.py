@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signature_similar_docs": Q.q_signature_similar_docs,
         # multimodal plumbing (stub decoder, real Spark plumbing)
         "multimodal_features": Q.q_multimodal_features,
+        "multimodal_frames": Q.q_multimodal_frames,
+        "clean_text": Q.q_clean_text,
     }
 
 
@@ -404,6 +406,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "clean_text": """
+            WITH c AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(
+                       regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS clean_text
+              FROM documents
+            )
+            SELECT doc_id, length(text)::BIGINT AS n_chars_raw,
+                   clean_text, length(clean_text)::BIGINT AS n_chars_clean
+            FROM c
+        """,
+        # ASCII corpus (verified — see multimodal_features note): per-char
+        # codepoints == utf-8 bytes, so the frame windows are substrings.
+        "multimodal_frames": """
+            WITH fr AS (
+              SELECT doc_id, text, unnest([0, 1, 2, 3]) AS fi FROM documents
+            ), o AS (
+              SELECT doc_id, fi, (fi * length(text)) // 4 AS off,
+                     substr(text, ((fi * length(text)) // 4) + 1, 16) AS frame
+              FROM fr
+            )
+            SELECT doc_id, fi::BIGINT AS frame_idx, off::BIGINT AS offset,
+                   length(frame)::BIGINT AS frame_len,
+                   coalesce(list_sum(list_transform(split(frame, ''),
+                                                    c -> ascii(c))), 0)::BIGINT
+                     AS frame_sum
+            FROM o
         """,
         "repetition_scores": """
             WITH t AS (

@@ -1176,3 +1176,65 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rank"),
         )
     )
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style text normalization, entirely native (regexp_replace/trim run
+    JVM-side inside whole-stage codegen — a pure map, no UDF, no shuffle):
+    strip control characters, collapse whitespace runs to single spaces,
+    trim. Emits before/after lengths so a cleaning sweep's volume impact is
+    one aggregation away."""
+    docs = load(spark, sf_dir, "documents")
+    no_ctl = F.regexp_replace(F.col("text"), "[\\x00-\\x1f\\x7f]", " ")
+    clean = F.trim(F.regexp_replace(no_ctl, "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_raw"),
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
+MM_FRAMES = 4  # frames sampled per blob
+MM_FRAME_BYTES = 16  # bytes per sampled frame
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like blobs: K frames at
+    deterministic offsets (i * n/K), each a fixed-width byte window, with a
+    per-frame byte checksum. The decode step is the SAME disclosed stub as
+    q_multimodal_features (no media libs in this sandbox) — the real, tested
+    part is the Spark shape: one mapInPandas pass emitting K rows per input
+    row (a row-multiplying extractor, the shape a real frame sampler has),
+    NumPy-batched, no shuffle."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("frame_len", T.LongType()),
+            T.StructField("frame_sum", T.LongType()),
+        ]
+    )
+
+    def sample(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "offset", "frame_len", "frame_sum")}
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                a = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                for i in range(MM_FRAMES):
+                    off = (i * n) // MM_FRAMES
+                    frame = a[off : off + MM_FRAME_BYTES]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i)
+                    out["offset"].append(off)
+                    out["frame_len"].append(len(frame))
+                    out["frame_sum"].append(int(frame.sum()) if len(frame) else 0)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(sample, schema=schema)

@@ -340,3 +340,40 @@ def test_embedding_ann_ivf_scores_exact_on_overlap(spark):
         if (r["query_id"], r["neighbor_id"]) in brute:
             assert abs(r["cos_sim"] - brute[(r["query_id"], r["neighbor_id"])]) < 1e-9
     assert all(len(v) == 5 for v in per_q.values())
+
+
+def test_clean_text_normalizes_whitespace_and_controls(spark, tmp_path):
+    data = [
+        (0, "  hello   world \t tabs\nnewline  "),
+        (1, "ctrl\x01chars\x1fhere"),
+        (2, "already clean"),
+    ]
+    p = str(tmp_path / "clean")
+    spark.createDataFrame(data, "doc_id long, text string").write.parquet(
+        f"{p}/documents.parquet"
+    )
+    got = {r["doc_id"]: r for r in Q.q_clean_text(spark, p).collect()}
+    assert got[0]["clean_text"] == "hello world tabs newline"
+    assert got[1]["clean_text"] == "ctrl chars here"
+    assert got[2]["clean_text"] == "already clean"
+    assert all(r["n_chars_clean"] == len(r["clean_text"]) for r in got.values())
+
+
+def test_multimodal_frames_shape_and_checksums(spark):
+    rows = Q.q_multimodal_frames(spark, SF).collect()
+    assert len(rows) == 500 * 4  # K frames per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {d["doc_id"]: d["text"] for d in
+            spark.read.parquet(f"{SF}/documents.parquet").limit(10).collect()}
+    for did, text in docs.items():
+        b = text.encode()
+        frames = sorted(by_doc[did], key=lambda r: r["frame_idx"])
+        assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
+        for f in frames:
+            off = (f["frame_idx"] * len(b)) // 4
+            window = b[off:off + 16]
+            assert f["offset"] == off
+            assert f["frame_len"] == len(window)
+            assert f["frame_sum"] == sum(window)
