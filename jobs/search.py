@@ -1,0 +1,133 @@
+"""spark-submit entrypoint for signature similarity search over an indexed
+signatures checkpoint — the reference's end-user QUERY flow (index documents
+with a minhash field, then search by the query text's signature;
+README.md:70-77 of codelibs/elasticsearch-minhash).
+
+Example (after jobs/dedup.py has published <ckpt>/signatures):
+    python jobs/search.py --checkpoints /data/dedup_ckpt \\
+        --text "some file content ..." --top-k 10
+    python jobs/search.py --checkpoints ... --text ... --exact   # term-query
+
+Modes:
+  * default: LSH-accelerated ranking — candidates are rows sharing >= 1 band
+    key with the query (a scan-level ``arrays_overlap`` predicate — no
+    shuffle, no full-corpus scoring), scored by signature bit-match
+    (MinHash.compare semantics) with the inverted Jaccard estimate.
+  * --brute: score every row (exact bit-match ranking, no LSH pruning).
+  * --exact: the ES term-query analog — rows whose stored signature is
+    byte-identical to the query's.
+
+The query config MUST match index time (the signatures manifest's
+config_hash is checked; --force overrides).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoints", required=True, help="dedup checkpoint root (needs signatures/)")
+    p.add_argument("--text", required=True, help="query content")
+    p.add_argument("--top-k", type=int, default=10)
+    p.add_argument("--exact", action="store_true", help="term-query: byte-identical signatures")
+    p.add_argument("--brute", action="store_true", help="score all rows (skip LSH band pruning)")
+    p.add_argument("--force", action="store_true", help="skip config-hash check vs the index")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--bit", type=int, default=1)
+    p.add_argument(
+        "--tokenizer",
+        default="char_shingle",
+        choices=["word", "standard", "char_shingle", "word_shingle"],
+    )
+    p.add_argument("--filters", nargs="*", default=None)
+    p.add_argument("--shingle-k", type=int, default=9)
+    p.add_argument("--word-n", type=int, default=3)
+    p.add_argument("--num-bands", type=int, default=21)
+    p.add_argument("--rows-per-band", type=int, default=6)
+    args = p.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from minhash_spark import kernel
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.functions.udfs import sig_bitmatch_udf, signature_for_text
+    from minhash_spark.session import build_session
+    from minhash_spark.sources.io import TableIO
+
+    tok_params = (
+        {"k": args.shingle_k}
+        if args.tokenizer == "char_shingle"
+        else ({"n": args.word_n} if args.tokenizer == "word_shingle" else {})
+    )
+    if args.filters:
+        tok_params = {**tok_params, "filters": list(args.filters)}
+    cfg = MinHashConfig(
+        seed=args.seed,
+        size=args.size,
+        bit=args.bit,
+        tokenizer=args.tokenizer,
+        tokenizer_params=tok_params,
+        num_bands=args.num_bands,
+        rows_per_band=args.rows_per_band,
+    )
+
+    io = TableIO(args.checkpoints)
+    m = io.manifest("signatures")
+    if m is None:
+        sys.exit("no signatures checkpoint under --checkpoints (run jobs/dedup.py first)")
+    if m["config_hash"] != cfg.config_hash() and not args.force:
+        sys.exit(
+            f"query config {cfg.config_hash()} != index config {m['config_hash']} "
+            "(signatures are analyzer-dependent; pass the index-time flags, or --force)"
+        )
+
+    qsig, qbands = signature_for_text(args.text, cfg)
+
+    spark = build_session(app_name="minhash-search")
+    spark.sparkContext.setLogLevel("ERROR")
+    sigs = io.read(spark, "signatures")
+
+    if args.exact:
+        hits = (
+            sigs.where(F.col("sig") == F.lit(bytearray(qsig)))
+            .select("rep_id", "content_sha256", "sig_b64")
+            .limit(args.top_k)
+        )
+        rows = [r.asDict() for r in hits.collect()]
+    else:
+        cand = sigs
+        if not args.brute:
+            band_lit = F.array(*[F.lit(b) for b in qbands])
+            cand = sigs.where(F.arrays_overlap(F.col("bands"), band_lit))
+        bitmatch = sig_bitmatch_udf()
+        scored = cand.select(
+            "rep_id",
+            "content_sha256",
+            bitmatch(F.col("sig"), F.lit(bytearray(qsig))).alias("bit_match"),
+        )
+        top = scored.orderBy(F.desc("bit_match"), F.asc("rep_id")).limit(args.top_k)
+        rows = [
+            {
+                **r.asDict(),
+                "est_jaccard": round(kernel.estimate_jaccard(r["bit_match"], cfg.bit), 6),
+            }
+            for r in top.collect()
+        ]
+
+    print(json.dumps({"mode": "exact" if args.exact else ("brute" if args.brute else "lsh"),
+                      "query_sig_b64": kernel.to_base64(qsig), "hits": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

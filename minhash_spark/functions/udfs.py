@@ -394,3 +394,20 @@ def simhash_udf(cfg: MinHashConfig):
 def file_id_col(repo="repo", path="path", commit="commit"):
     """Deterministic row identity (FIXTURES.md §1)."""
     return F.sha2(F.concat_ws("", F.col(repo), F.col(path), F.col(commit)), 256)
+
+
+def signature_for_text(
+    text: str, cfg: MinHashConfig, exclude_sorted: np.ndarray | None = None
+) -> tuple[bytes, list[int]]:
+    """Driver-side signature of ONE text under ``cfg``: (fixed-width b-bit
+    signature bytes, LSH band keys). Same kernel path as the Arrow UDFs —
+    a query-time signature is byte-identical to the indexed one, which is
+    what makes signature search / exact term-lookup possible (the
+    reference's query flow: analyze the query text with the same analyzer,
+    then match against the indexed minhash keyword)."""
+    mins, mask = _compute_mins(pd.Series([text]), cfg, exclude_sorted)
+    if not mask[0]:
+        raise ValueError("null query text")
+    packed = kernel.pack_bbit(mins, bit=cfg.bit)
+    bands = kernel.band_keys(mins, cfg.num_bands, cfg.rows_per_band)
+    return packed[0].tobytes(), [int(b) for b in bands[0]]

@@ -171,3 +171,27 @@ def test_substring_verify_rejects_shuffled_accepts_verbatim(spark):
 
     assert len(run(big_verbatim)) == 1
     assert len(run(big_shuffled)) == 0
+
+
+def test_signature_for_text_matches_udf(spark):
+    """Driver-side query signature must be byte-identical to the indexed one
+    (the search CLI's correctness contract)."""
+    import pyspark.sql.functions as F
+
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.functions.udfs import minhash_struct_udf, signature_for_text
+
+    cfg = MinHashConfig(seed=0, size=128, bit=1, tokenizer="char_shingle",
+                        tokenizer_params={"k": 9})
+    texts = ["some source file content for the search path", "minhash is fun"]
+    udf = minhash_struct_udf(cfg)
+    rows = (
+        spark.createDataFrame([(t,) for t in texts], "content string")
+        .select(udf(F.col("content")).alias("s"))
+        .select("s.sig", "s.bands")
+        .collect()
+    )
+    for t, r in zip(texts, rows):
+        sig, bands = signature_for_text(t, cfg)
+        assert bytes(r["sig"]) == sig
+        assert list(r["bands"]) == bands
