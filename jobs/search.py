@@ -56,11 +56,10 @@ def main():
     p.add_argument("--rows-per-band", type=int, default=6)
     args = p.parse_args()
 
-    from pyspark.sql import functions as F
-
     from minhash_spark import kernel
     from minhash_spark.config import MinHashConfig
-    from minhash_spark.functions.udfs import sig_bitmatch_udf, signature_for_text
+    from minhash_spark.functions.udfs import signature_for_text
+    from minhash_spark.plans.search import search_signatures
     from minhash_spark.session import build_session
     from minhash_spark.sources.io import TableIO
 
@@ -97,35 +96,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     sigs = io.read(spark, "signatures")
 
-    if args.exact:
-        hits = (
-            sigs.where(F.col("sig") == F.lit(bytearray(qsig)))
-            .select("rep_id", "content_sha256", "sig_b64")
-            .limit(args.top_k)
-        )
-        rows = [r.asDict() for r in hits.collect()]
-    else:
-        cand = sigs
-        if not args.brute:
-            band_lit = F.array(*[F.lit(b) for b in qbands])
-            cand = sigs.where(F.arrays_overlap(F.col("bands"), band_lit))
-        bitmatch = sig_bitmatch_udf()
-        scored = cand.select(
-            "rep_id",
-            "content_sha256",
-            bitmatch(F.col("sig"), F.lit(bytearray(qsig))).alias("bit_match"),
-        )
-        top = scored.orderBy(F.desc("bit_match"), F.asc("rep_id")).limit(args.top_k)
-        rows = [
-            {
-                **r.asDict(),
-                "est_jaccard": round(kernel.estimate_jaccard(r["bit_match"], cfg.bit), 6),
-            }
-            for r in top.collect()
-        ]
+    mode = "exact" if args.exact else ("brute" if args.brute else "lsh")
+    hits = search_signatures(sigs, qsig, qbands, top_k=args.top_k, mode=mode, bit=cfg.bit)
+    if mode == "exact":
+        hits = hits.select("rep_id", "content_sha256", "sig_b64")
+    rows = [r.asDict() for r in hits.collect()]
 
-    print(json.dumps({"mode": "exact" if args.exact else ("brute" if args.brute else "lsh"),
-                      "query_sig_b64": kernel.to_base64(qsig), "hits": rows}))
+    print(json.dumps({"mode": mode, "query_sig_b64": kernel.to_base64(qsig), "hits": rows}))
     spark.stop()
 
 

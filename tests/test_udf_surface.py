@@ -195,3 +195,42 @@ def test_signature_for_text_matches_udf(spark):
         sig, bands = signature_for_text(t, cfg)
         assert bytes(r["sig"]) == sig
         assert list(r["bands"]) == bands
+
+
+def test_search_signatures_modes(spark):
+    """LSH mode must find the verbatim doc at bit_match 1.0, brute must rank
+    it first too, and exact mode must return exactly the byte-identical row."""
+    import pyspark.sql.functions as F
+
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.functions.udfs import minhash_struct_udf, signature_for_text
+    from minhash_spark.plans.search import search_signatures
+
+    cfg = MinHashConfig(seed=0, size=128, bit=1, tokenizer="word_shingle",
+                        tokenizer_params={"n": 3}, num_bands=32, rows_per_band=4)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = [
+        ("d1", base),
+        ("d2", base + " lambda mu"),  # near-dup of d1
+        ("d3", "totally different words nothing shared here at all ever " * 3),
+    ]
+    udf = minhash_struct_udf(cfg)
+    sigs = (
+        spark.createDataFrame(corpus, "rep_id string, content string")
+        .select("rep_id", udf(F.col("content")).alias("s"))
+        .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
+    )
+    qsig, qbands = signature_for_text(base, cfg)
+
+    lsh = search_signatures(sigs, qsig, qbands, top_k=3, mode="lsh", bit=1).collect()
+    assert lsh[0]["rep_id"] == "d1" and lsh[0]["bit_match"] == 1.0
+    assert lsh[0]["est_jaccard"] == 1.0
+    lsh_ids = {r["rep_id"] for r in lsh}
+    assert "d2" in lsh_ids  # near-dup shares bands
+    assert "d3" not in lsh_ids  # unrelated doc pruned by the band predicate
+
+    brute = search_signatures(sigs, qsig, qbands, top_k=3, mode="brute", bit=1).collect()
+    assert brute[0]["rep_id"] == "d1" and len(brute) == 3  # scores all rows
+
+    exact = search_signatures(sigs, qsig, qbands, mode="exact").collect()
+    assert [r["rep_id"] for r in exact] == ["d1"]
