@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event analytics (sessionization + windowed rollups)
         "event_sessions": Q.q_event_sessions,
         "event_windowed_counts": Q.q_event_windowed_counts,
+        "event_props_rollup": Q.q_event_props_rollup,
+        "common_spans": Q.q_common_spans,
         # similarity search over embeddings
         "embedding_topk": Q.q_embedding_topk,
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
@@ -406,6 +408,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "event_props_rollup": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+                   min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+                   max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "common_spans": f"""
+            WITH s AS ({_DOC_SPANS_SQL})
+            SELECT span, count(*)::BIGINT AS df
+            FROM s GROUP BY span
+            ORDER BY df DESC, span ASC LIMIT 20
         """,
         "clean_text": """
             WITH c AS (

@@ -1238,3 +1238,39 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(sample, schema=schema)
+
+
+def q_event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON props
+    column with native get_json_object (JVM-side JsonPath — no Python, no
+    schema inference pass) and roll up per event type. The schema-on-read
+    path every event pipeline needs; at 100 TB the extraction is a pure map
+    fused into the scan, and the rollup is one partial-agg shuffle over
+    |event_type| groups."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+COMMON_SPANS_TOP = 20
+
+
+def q_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate report: the top spans (word-5-grams) by
+    document frequency — what a dedup operator reads before deciding the
+    boilerplate filter list (the pipeline's common-shingle stage builds the
+    same artifact from a sample; this is the exact corpus-wide query).
+    Deterministic order: df desc, span asc, top COMMON_SPANS_TOP."""
+    docs = load(spark, sf_dir, "documents")
+    spans = _doc_spans(docs, BOILERPLATE_N)
+    return (
+        spans.groupBy("span")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("span"))
+        .limit(COMMON_SPANS_TOP)
+    )

@@ -377,3 +377,31 @@ def test_multimodal_frames_shape_and_checksums(spark):
             assert f["offset"] == off
             assert f["frame_len"] == len(window)
             assert f["frame_sum"] == sum(window)
+
+
+def test_event_props_rollup_matches_json(spark):
+    import json as _json
+
+    rows = {r["event_type"]: r for r in Q.q_event_props_rollup(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    agg = {}
+    for e in ev:
+        k = _json.loads(e["props"])["k"]
+        a = agg.setdefault(e["event_type"], [0, 0, None, None])
+        a[0] += 1
+        a[1] += k
+        a[2] = k if a[2] is None else min(a[2], k)
+        a[3] = k if a[3] is None else max(a[3], k)
+    assert set(rows) == set(agg)
+    for t, (n, s, lo, hi) in agg.items():
+        r = rows[t]
+        assert (r["n_events"], r["sum_k"], r["min_k"], r["max_k"]) == (n, s, lo, hi)
+
+
+def test_common_spans_deterministic_top(spark):
+    a = [(r["span"], r["df"]) for r in Q.q_common_spans(spark, SF).collect()]
+    b = [(r["span"], r["df"]) for r in Q.q_common_spans(spark, SF).collect()]
+    assert a == b and len(a) == 20
+    dfs = [d for _, d in a]
+    assert dfs == sorted(dfs, reverse=True)
+    assert all(d >= 2 for d in dfs)  # a "common" span is by definition shared
