@@ -161,6 +161,10 @@ def main():
     timed("event_windowed_counts", lambda: Q.q_event_windowed_counts(spark, sf_dir).count())
     timed("doc_fingerprints_docs", lambda: Q.q_doc_fingerprints(spark, sf_dir).count())
     timed("multimodal_features_docs", lambda: Q.q_multimodal_features(spark, sf_dir).count())
+    timed("clean_text_docs", lambda: Q.q_clean_text(spark, sf_dir).count())
+    timed("multimodal_frames_docs", lambda: Q.q_multimodal_frames(spark, sf_dir).count())
+    timed("event_props_rollup", lambda: Q.q_event_props_rollup(spark, sf_dir).count())
+    timed("common_spans_docs", lambda: Q.q_common_spans(spark, sf_dir).count())
     timed("repetition_scores_docs", lambda: Q.q_repetition_scores(spark, sf_dir).count())
     timed("boilerplate_spans_docs", lambda: Q.q_boilerplate_spans(spark, sf_dir).count())
     timed("decontaminate_docs", lambda: Q.q_decontaminate(spark, sf_dir).count())

@@ -116,3 +116,16 @@ def test_tableio_manifest_per_partition_lineage(spark, tmp_path):
     assert stats["min_rows"] <= stats["mean_rows"] <= stats["max_rows"]
     assert stats["skew_max_over_mean"] >= 1.0
     assert stats["detail_truncated"] is False
+
+
+def test_package_public_api_lazy_exports():
+    import minhash_spark as m
+
+    assert m.MinHashConfig(seed=0, size=128, bit=1).config_hash()
+    assert callable(m.build_session) and callable(m.search_signatures)
+    assert callable(m.signature_for_text) and callable(m.DedupPipeline)
+    try:
+        m.not_a_thing
+        raise AssertionError("expected AttributeError")
+    except AttributeError:
+        pass

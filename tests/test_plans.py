@@ -119,3 +119,12 @@ def test_embedding_ann_ivf_broadcasts_query_probes(spark):
         if "Exchange hashpartitioning" in ln and "cell" in ln
     ]
     assert not cell_shuffles, plan
+
+
+def test_event_props_rollup_native_partial_agg(spark):
+    """get_json_object must stay JVM-side (no Python eval) and the rollup
+    must map-side combine."""
+    plan = _plan(Q.q_event_props_rollup(spark, SF))
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan, plan
+    n_agg = len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan))
+    assert n_agg >= 2, plan
