@@ -166,3 +166,46 @@ def test_pipeline_resume_skips_fresh_stages(spark, files_a, tmp_path):
     p3 = DedupPipeline(spark, io, cfg3)
     p3.run(files_a)
     assert all(not s.skipped for s in p3.stages)
+
+
+def test_pipeline_empty_and_single_input(spark, tmp_path):
+    """Degenerate inputs must produce valid (empty / singleton) stage tables,
+    not crash — the first thing a backfill over a sparse partition hits."""
+    import minhash_spark as m
+
+    cfg = m.MinHashConfig(seed=0, size=128, bit=1, tokenizer="char_shingle",
+                          tokenizer_params={"k": 9})
+    schema = "repo string, path string, commit string, lang string, content string"
+    empty = spark.createDataFrame([], schema)
+    out = m.DedupPipeline(spark, m.TableIO(str(tmp_path / "e")), cfg).run(empty)
+    assert out.count() == 0
+
+    one = spark.createDataFrame([("r", "p", "c", "py", "just one file here")], schema)
+    out1 = m.DedupPipeline(spark, m.TableIO(str(tmp_path / "s")), cfg).run(one)
+    rows = out1.collect()
+    assert len(rows) == 1 and rows[0]["cluster_id"] is not None
+
+
+def test_report_stage_summaries(spark, tmp_path):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    import report as report_mod
+
+    import minhash_spark as m
+
+    cfg = m.MinHashConfig(seed=0, size=128, bit=1, tokenizer="char_shingle",
+                          tokenizer_params={"k": 9})
+    schema = "repo string, path string, commit string, lang string, content string"
+    files = spark.createDataFrame(
+        [("r", f"p{i}", "c", "py", f"content of file number {i} with words") for i in range(10)],
+        schema,
+    )
+    io = m.TableIO(str(tmp_path / "ck"))
+    m.DedupPipeline(spark, io, cfg).run(files)
+    stages = report_mod.stage_summaries(io)
+    names = [s["stage"] for s in stages]
+    assert names == ["signatures", "edges", "clusters", "clusters_all"]
+    assert all("partition_stats" in s and s["rows"] >= 0 for s in stages)
+    assert stages[-1]["rows"] == 10
