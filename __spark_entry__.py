@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_spans": Q.q_boilerplate_spans,
         "decontaminate": Q.q_decontaminate,
         "doc_fingerprints": Q.q_doc_fingerprints,
+        "fingerprint_matches": Q.q_fingerprint_matches,
         # event analytics (sessionization + windowed rollups)
         "event_sessions": Q.q_event_sessions,
         "event_windowed_counts": Q.q_event_windowed_counts,

@@ -1274,3 +1274,74 @@ def q_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("span"))
         .limit(COMMON_SPANS_TOP)
     )
+
+
+FP_WINDOW = 8  # winnowing window (shingle hashes per window)
+# pair reported at >= this many shared fingerprints. Operating point measured
+# on the driver corpus: background (chance char-9-shingle collisions between
+# word-salad docs) decays ~2x per extra shared fingerprint and is <250 pairs
+# by 10, while true span copies / near-dups sit at 11-106 — 10 separates them.
+FP_MIN_SHARED = 10
+FP_MAX_DF = 50  # fingerprints in more docs than this are boilerplate — dropped
+
+
+def _fingerprint_udf():
+    """text -> array<long> of winnowing fingerprints (distinct min-hash per
+    sliding window of FP_WINDOW char-9-shingle hashes; Schleimer et al. 2003).
+    Same kernel path as q_doc_fingerprints, exposed as the raw set for
+    retrieval joins."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _fp(texts: pd.Series) -> pd.Series:
+        from minhash_spark import kernel
+
+        batch = kernel._ShingleBatch(texts.fillna("").astype(str).tolist(), 9)
+        n = len(texts)
+        out = [[] for _ in range(n)]
+        if len(batch.starts):
+            h1, _ = kernel._window_hashes_seed0(batch)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(batch.counts, out=offs[1:])
+            for d in range(n):
+                hs = h1[offs[d] : offs[d + 1]].view(np.int64)
+                if len(hs) == 0:
+                    continue
+                if len(hs) <= FP_WINDOW:
+                    out[d] = [int(hs.min())]
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(hs, FP_WINDOW)
+                    out[d] = np.unique(win.min(axis=1)).tolist()
+        return pd.Series(out)
+
+    return _fp
+
+
+def q_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local-similarity retrieval: pairs of docs sharing >=
+    FP_MIN_SHARED winnowing fingerprints — catches COPIED SPANS that global
+    Jaccard dilutes away (a 10-line function lifted into a 1000-line file).
+
+    Scale shape: explode fingerprints -> document-frequency filter (drops
+    boilerplate fingerprints above FP_MAX_DF, the winnowing analog of the
+    LSH star-cap — without it one ubiquitous span makes a quadratic bucket)
+    -> self-equi-join on fingerprint -> per-pair count. rows-only: winnowing
+    fingerprints are murmur-based, not SQL-computable; planted span-copy
+    behavior is pytest-pinned."""
+    docs = load(spark, sf_dir, "documents")
+    fp = _fingerprint_udf()
+    fps = docs.select("doc_id", F.explode(fp(F.col("text"))).alias("f"))
+    # df filter as a plain shuffle semi-join, NOT a broadcast: at 10^12 docs
+    # the distinct fingerprint set is corpus-sized. The join, the df groupBy,
+    # and the pair self-join all key on `f`, so the exchange is reused.
+    fdf = fps.groupBy("f").agg(F.count("*").alias("df")).where(F.col("df") <= FP_MAX_DF)
+    fps = fps.join(fdf.select("f"), "f", "left_semi")
+    a = fps.select(F.col("doc_id").alias("a_id"), "f")
+    b = fps.select(F.col("doc_id").alias("b_id"), "f")
+    return (
+        a.join(b, "f")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= FP_MIN_SHARED)
+    )

@@ -405,3 +405,31 @@ def test_common_spans_deterministic_top(spark):
     dfs = [d for _, d in a]
     assert dfs == sorted(dfs, reverse=True)
     assert all(d >= 2 for d in dfs)  # a "common" span is by definition shared
+
+
+def test_fingerprint_matches_planted_span_copy(spark, tmp_path):
+    """A long span copied from doc A into an otherwise-different doc B must
+    surface as a fingerprint match even when global Jaccard is low; unrelated
+    docs must not pair."""
+    span = "the copied function body does something very specific indeed " * 4
+    filler = " ".join(f"unique{i} filler words everywhere" for i in range(60))
+    filler2 = " ".join(f"other{i} words entirely distinct" for i in range(60))
+    data = [
+        (1, span + " trailing remainder of the original file"),
+        (2, filler + " " + span + " " + filler),  # span embedded in noise
+        (3, filler2),
+    ]
+    p = str(tmp_path / "fp")
+    spark.createDataFrame(data, "doc_id long, text string").write.parquet(
+        f"{p}/documents.parquet"
+    )
+    got = {(r["a_id"], r["b_id"]): r["n_shared_fp"]
+           for r in Q.q_fingerprint_matches(spark, p).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= Q.FP_MIN_SHARED
+    assert not any(3 in k for k in got)
+
+
+def test_fingerprint_matches_runs_on_driver_corpus(spark):
+    rows = Q.q_fingerprint_matches(spark, SF).collect()
+    # near-dup planted pairs in the corpus share spans; sanity: all pairs ordered
+    assert all(r["a_id"] < r["b_id"] and r["n_shared_fp"] >= Q.FP_MIN_SHARED for r in rows)
