@@ -87,15 +87,25 @@ def run_incremental_dedup(
     state_dir: str,
     checkpoint_dir: str,
     cfg: MinHashConfig,
+    maintain_clusters: bool = False,
 ) -> None:
     """Incremental near-dup detection: per micro-batch, new docs' band keys
     join the accumulated bucket table; candidate pairs (new x history plus
     new x new) are verified exactly and appended to the edges table.
 
-    State tables under ``state_dir``: signatures/ (append), edges/ (append).
+    State tables under ``state_dir``: signatures/ (append), edges/ (append),
+    and — with ``maintain_clusters`` — clusters/ (overwritten per batch with
+    the connected components of ALL accumulated edges, so a cross-batch
+    chain a-b, b-c merges into one cluster as soon as the closing edge
+    lands). The edge set is orders of magnitude smaller than the corpus, so
+    recomputing CC per batch is the cheap, always-consistent choice (the
+    same rationale as the batch pipeline's driver union-find fast path); at
+    extreme edge cardinalities swap in an incremental CC that only touches
+    components adjacent to the batch's new edges.
     """
     sig_dir = os.path.join(state_dir, "signatures")
     edges_dir = os.path.join(state_dir, "edges")
+    clusters_dir = os.path.join(state_dir, "clusters")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()
@@ -139,6 +149,25 @@ def run_incremental_dedup(
         new_sigs.write.mode("overwrite").parquet(
             os.path.join(sig_dir, f"batch_id={batch_id}")
         )
+        if maintain_clusters:
+            from minhash_spark.operators import components
+
+            all_edges = spark.read.parquet(edges_dir).select(
+                F.col("a_id").alias("u"), F.col("b_id").alias("v")
+            )
+            all_ids = spark.read.parquet(sig_dir).select(F.col("rep_id").alias("node"))
+            comp = components.connected_components(all_edges)
+            clustered = all_ids.join(comp, "node", "left").select(
+                F.col("node").alias("rep_id"),
+                F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
+            )
+            # full overwrite (derived table): trivially idempotent on replay
+            tmp = clusters_dir + ".tmp"
+            clustered.write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            shutil.rmtree(clusters_dir, ignore_errors=True)
+            os.rename(tmp, clusters_dir)
 
     q = (
         signature_stream(spark, input_dir, cfg)

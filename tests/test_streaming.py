@@ -157,3 +157,29 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         for r in Q.q_event_sessions(spark, sf).collect()
     }
     assert got == want
+
+
+def test_incremental_clusters_merge_across_batches(spark, tmp_path):
+    """a~b arrive in separate batches, then c (similar to b) closes a chain:
+    the maintained clusters table must merge all three into ONE cluster."""
+    inp, state, ckpt = (str(tmp_path / d) for d in ("in", "state", "ckpt"))
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "entirely different content with zero overlap whatsoever here"
+    _write_batch(spark, inp, [("r", "a", "c", "txt", base), ("r", "x", "c", "txt", other)])
+    run_incremental_dedup(spark, inp, state, ckpt, CFG, maintain_clusters=True)
+    c1 = {r["rep_id"]: r["cluster_id"] for r in
+          spark.read.parquet(os.path.join(state, "clusters")).collect()}
+    assert len(set(c1.values())) == 2  # a and x, no merge yet
+
+    _write_batch(spark, inp, [("r", "b", "c", "txt", base)])
+    run_incremental_dedup(spark, inp, state, ckpt, CFG, maintain_clusters=True)
+    _write_batch(spark, inp, [("r", "c2", "c", "txt", base)])
+    run_incremental_dedup(spark, inp, state, ckpt, CFG, maintain_clusters=True)
+
+    rows = spark.read.parquet(os.path.join(state, "clusters")).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["rep_id"])
+    assert len(rows) == 4
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [1, 3]  # {x} and {a, b, c2} merged across three batches
