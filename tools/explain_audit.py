@@ -28,6 +28,12 @@ AUDITED = [
     "embedding_near_dup_pairs",
     "token_counts",
     "multimodal_features",
+    "embedding_ann_ivf",
+    "decontaminate",
+    "boilerplate_spans",
+    "repetition_scores",
+    "fingerprint_matches",
+    "event_props_rollup",
 ]
 
 CHECKS = {
