@@ -1,0 +1,92 @@
+"""spark-submit entrypoint for the incremental (streaming) dedup path:
+drain the backlog of new file batches from a landing directory, extend the
+signature/edge state, and (optionally) refresh the clusters table — the
+cron-style incremental ingest a production dedup service runs between full
+pipeline rebuilds.
+
+Example:
+    python jobs/stream_dedup.py --landing /data/landing \\
+        --state /data/dedup_state --checkpoint /data/stream_ckpt --clusters
+
+Landing input: parquet files with columns (repo, path, commit, lang,
+content) appended FLAT into --landing (the Structured Streaming file source
+tracks processed files through --checkpoint; a restart resumes exactly).
+State tables written under --state: signatures/, edges/ (both append,
+per-batch idempotent) and clusters/ with --clusters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--landing", required=True, help="landing dir of new file batches (parquet)")
+    p.add_argument("--state", required=True, help="state root (signatures/, edges/, clusters/)")
+    p.add_argument("--checkpoint", required=True, help="Structured Streaming checkpoint dir")
+    p.add_argument("--clusters", action="store_true", help="maintain the clusters table per batch")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--bit", type=int, default=1)
+    p.add_argument(
+        "--tokenizer",
+        default="char_shingle",
+        choices=["word", "standard", "char_shingle", "word_shingle"],
+    )
+    p.add_argument("--filters", nargs="*", default=None)
+    p.add_argument("--shingle-k", type=int, default=9)
+    p.add_argument("--word-n", type=int, default=3)
+    p.add_argument("--num-bands", type=int, default=21)
+    p.add_argument("--rows-per-band", type=int, default=6)
+    p.add_argument("--threshold", type=float, default=0.8)
+    args = p.parse_args()
+
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.session import build_session
+    from minhash_spark.streaming.incremental import run_incremental_dedup
+
+    tok_params = (
+        {"k": args.shingle_k}
+        if args.tokenizer == "char_shingle"
+        else ({"n": args.word_n} if args.tokenizer == "word_shingle" else {})
+    )
+    if args.filters:
+        tok_params = {**tok_params, "filters": list(args.filters)}
+    cfg = MinHashConfig(
+        seed=args.seed,
+        size=args.size,
+        bit=args.bit,
+        tokenizer=args.tokenizer,
+        tokenizer_params=tok_params,
+        num_bands=args.num_bands,
+        rows_per_band=args.rows_per_band,
+        verify_threshold=args.threshold,
+    )
+    spark = build_session(app_name="minhash-stream-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    run_incremental_dedup(
+        spark, args.landing, args.state, args.checkpoint, cfg,
+        maintain_clusters=args.clusters,
+    )
+
+    summary = {"config_hash": cfg.config_hash()}
+    for t in ("signatures", "edges") + (("clusters",) if args.clusters else ()):
+        path = os.path.join(args.state, t)
+        try:
+            summary[t] = spark.read.parquet(path).count()
+        except Exception:
+            summary[t] = 0
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
