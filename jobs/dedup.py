@@ -57,7 +57,17 @@ def main():
     p.add_argument("--max-bucket-size", type=int, default=64)
     p.add_argument("--filter-common-shingles", action="store_true")
     p.add_argument("--common-df-ratio", type=float, default=0.5)
+    p.add_argument(
+        "--shards-out",
+        type=int,
+        default=0,
+        help="also materialize the deduplicated (one representative per "
+        "cluster) corpus as N balanced training shards",
+    )
+    p.add_argument("--shards-path", default=None, help="output dir for --shards-out")
     args = p.parse_args()
+    if args.shards_out and not args.shards_path:
+        p.error("--shards-out requires --shards-path")
 
     from minhash_spark.config import MinHashConfig
     from minhash_spark.plans.pipeline import DedupPipeline
@@ -89,16 +99,30 @@ def main():
     pipe = DedupPipeline(spark, TableIO(args.checkpoints), cfg)
     out = pipe.run(files)
     n = out.count()
-    print(
-        json.dumps(
-            {
-                "rows_out": n,
-                "clusters": out.select("cluster_id").distinct().count(),
-                "stages": [{"name": s.name, "skipped": s.skipped, "rows": s.rows} for s in pipe.stages],
-                "config_hash": cfg.config_hash(),
-            }
-        )
-    )
+    result = {
+        "rows_out": n,
+        "clusters": out.select("cluster_id").distinct().count(),
+        "stages": [{"name": s.name, "skipped": s.skipped, "rows": s.rows} for s in pipe.stages],
+        "config_hash": cfg.config_hash(),
+    }
+    if args.shards_out:
+        from pyspark.sql import functions as F
+
+        from minhash_spark.operators.signatures import with_identity
+        from minhash_spark.sources.shards import write_training_shards
+
+        # kept corpus: deterministic representative (min file_id) per cluster,
+        # joined back to the source for content — then N balanced shards
+        keep = out.groupBy("cluster_id").agg(F.min("file_id").alias("file_id"))
+        kept = with_identity(files).join(keep.select("file_id"), "file_id")
+        m = write_training_shards(kept, args.shards_path, args.shards_out, id_col="file_id")
+        result["shards"] = {
+            "path": args.shards_path,
+            "n_shards": m["n_shards"],
+            "rows": m["rows"],
+            "balance": m["balance"],
+        }
+    print(json.dumps(result))
     spark.stop()
 
 

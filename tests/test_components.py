@@ -129,3 +129,22 @@ def test_package_public_api_lazy_exports():
         raise AssertionError("expected AttributeError")
     except AttributeError:
         pass
+
+
+def test_training_shards_deterministic_and_balanced(spark, tmp_path):
+    from minhash_spark.sources.shards import write_training_shards
+
+    df = spark.range(2000).withColumn("doc_id", F.col("id")).withColumn(
+        "text", F.concat(F.lit("doc "), F.col("id"))
+    ).drop("id")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_training_shards(df, p1, n_shards=8)
+    m2 = write_training_shards(df.repartition(13), p2, n_shards=8)  # different input partitioning
+    assert m1["rows"] == 2000 and len(m1["shards"]) == 8
+    assert m1["balance"]["skew_max_over_mean"] < 1.3  # hash-balanced
+    # membership is a pure function of doc_id: identical across runs/partitionings
+    a = {r["doc_id"]: r["shard"] for r in spark.read.parquet(p1).select("doc_id", "shard").collect()}
+    b = {r["doc_id"]: r["shard"] for r in spark.read.parquet(p2).select("doc_id", "shard").collect()}
+    assert a == b and len(a) == 2000
+    # every row lands in exactly one shard
+    assert sum(s["rows"] for s in m1["shards"]) == 2000
