@@ -137,38 +137,42 @@ def main():
     timings: dict[str, float] = {}
 
     def timed(name, fn):
+        # noop sink, NOT .count(): count() lets Catalyst prune deterministic
+        # UDF columns entirely (a signature query would time only the scan);
+        # the noop write materializes every output column.
         t0 = time.time()
-        fn()
+        fn().write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 2)
 
     pipe_res = run_pipeline(spark, corpus_path)
     timings["dedup_pipeline_planted"] = pipe_res["wall_s"]
 
-    timed("near_dup_pairs_docs", lambda: Q.q_near_dup_pairs(spark, sf_dir).count())
-    timed("near_dup_clusters_docs", lambda: Q.q_near_dup_clusters(spark, sf_dir).count())
-    timed("char_ngram_dup_pairs_docs", lambda: Q.q_char_ngram_dup_pairs(spark, sf_dir).count())
-    timed("exact_dup_clusters_docs", lambda: Q.q_exact_dup_clusters(spark, sf_dir).count())
-    timed("minhash_signatures_docs", lambda: Q.q_minhash_signatures(spark, sf_dir).count())
-    timed("simhash_pairs_docs", lambda: Q.q_simhash_near_dup_pairs(spark, sf_dir).count())
-    timed("embedding_topk", lambda: Q.q_embedding_topk(spark, sf_dir).count())
-    timed("embedding_ann_lsh", lambda: Q.q_embedding_ann_lsh(spark, sf_dir).count())
-    timed("embedding_near_dup_pairs", lambda: Q.q_embedding_near_dup_pairs(spark, sf_dir).count())
-    timed("quality_scores_docs", lambda: Q.q_quality_scores(spark, sf_dir).count())
-    timed("token_counts_docs", lambda: Q.q_token_counts(spark, sf_dir).count())
-    timed("vocab_docs", lambda: Q.q_vocab(spark, sf_dir).count())
-    timed("cluster_representatives_docs", lambda: Q.q_cluster_representatives(spark, sf_dir).count())
-    timed("event_sessions", lambda: Q.q_event_sessions(spark, sf_dir).count())
-    timed("event_windowed_counts", lambda: Q.q_event_windowed_counts(spark, sf_dir).count())
-    timed("doc_fingerprints_docs", lambda: Q.q_doc_fingerprints(spark, sf_dir).count())
-    timed("multimodal_features_docs", lambda: Q.q_multimodal_features(spark, sf_dir).count())
-    timed("clean_text_docs", lambda: Q.q_clean_text(spark, sf_dir).count())
-    timed("multimodal_frames_docs", lambda: Q.q_multimodal_frames(spark, sf_dir).count())
-    timed("event_props_rollup", lambda: Q.q_event_props_rollup(spark, sf_dir).count())
-    timed("common_spans_docs", lambda: Q.q_common_spans(spark, sf_dir).count())
-    timed("repetition_scores_docs", lambda: Q.q_repetition_scores(spark, sf_dir).count())
-    timed("boilerplate_spans_docs", lambda: Q.q_boilerplate_spans(spark, sf_dir).count())
-    timed("decontaminate_docs", lambda: Q.q_decontaminate(spark, sf_dir).count())
-    timed("embedding_ann_ivf", lambda: Q.q_embedding_ann_ivf(spark, sf_dir).count())
+    timed("near_dup_pairs_docs", lambda: Q.q_near_dup_pairs(spark, sf_dir))
+    timed("near_dup_clusters_docs", lambda: Q.q_near_dup_clusters(spark, sf_dir))
+    timed("char_ngram_dup_pairs_docs", lambda: Q.q_char_ngram_dup_pairs(spark, sf_dir))
+    timed("exact_dup_clusters_docs", lambda: Q.q_exact_dup_clusters(spark, sf_dir))
+    timed("minhash_signatures_docs", lambda: Q.q_minhash_signatures(spark, sf_dir))
+    timed("simhash_pairs_docs", lambda: Q.q_simhash_near_dup_pairs(spark, sf_dir))
+    timed("embedding_topk", lambda: Q.q_embedding_topk(spark, sf_dir))
+    timed("embedding_ann_lsh", lambda: Q.q_embedding_ann_lsh(spark, sf_dir))
+    timed("embedding_near_dup_pairs", lambda: Q.q_embedding_near_dup_pairs(spark, sf_dir))
+    timed("quality_scores_docs", lambda: Q.q_quality_scores(spark, sf_dir))
+    timed("token_counts_docs", lambda: Q.q_token_counts(spark, sf_dir))
+    timed("vocab_docs", lambda: Q.q_vocab(spark, sf_dir))
+    timed("cluster_representatives_docs", lambda: Q.q_cluster_representatives(spark, sf_dir))
+    timed("event_sessions", lambda: Q.q_event_sessions(spark, sf_dir))
+    timed("event_windowed_counts", lambda: Q.q_event_windowed_counts(spark, sf_dir))
+    timed("doc_fingerprints_docs", lambda: Q.q_doc_fingerprints(spark, sf_dir))
+    timed("multimodal_features_docs", lambda: Q.q_multimodal_features(spark, sf_dir))
+    timed("clean_text_docs", lambda: Q.q_clean_text(spark, sf_dir))
+    timed("multimodal_frames_docs", lambda: Q.q_multimodal_frames(spark, sf_dir))
+    timed("event_props_rollup", lambda: Q.q_event_props_rollup(spark, sf_dir))
+    timed("common_spans_docs", lambda: Q.q_common_spans(spark, sf_dir))
+    timed("repetition_scores_docs", lambda: Q.q_repetition_scores(spark, sf_dir))
+    timed("boilerplate_spans_docs", lambda: Q.q_boilerplate_spans(spark, sf_dir))
+    timed("decontaminate_docs", lambda: Q.q_decontaminate(spark, sf_dir))
+    timed("embedding_ann_ivf", lambda: Q.q_embedding_ann_ivf(spark, sf_dir))
+    timed("fingerprint_matches_docs", lambda: Q.q_fingerprint_matches(spark, sf_dir))
 
     total = round(sum(timings.values()), 2)
     print(
