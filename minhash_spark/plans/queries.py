@@ -1330,7 +1330,9 @@ def q_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior is pytest-pinned."""
     docs = load(spark, sf_dir, "documents")
     fp = _fingerprint_udf()
-    fps = docs.select("doc_id", F.explode(fp(F.col("text"))).alias("f"))
+    # materialize once: the fingerprint set feeds the df branch AND both
+    # sides of the pair self-join — without this the kernel UDF runs 3x
+    fps = docs.select("doc_id", F.explode(fp(F.col("text"))).alias("f")).localCheckpoint()
     # df filter as a plain shuffle semi-join, NOT a broadcast: at 10^12 docs
     # the distinct fingerprint set is corpus-sized. The join, the df groupBy,
     # and the pair self-join all key on `f`, so the exchange is reused.
