@@ -183,3 +183,34 @@ def test_incremental_clusters_merge_across_batches(spark, tmp_path):
     assert len(rows) == 4
     sizes = sorted(len(v) for v in by_cluster.values())
     assert sizes == [1, 3]  # {x} and {a, b, c2} merged across three batches
+
+
+def test_streaming_clusters_equal_batch_pipeline(spark, tmp_path):
+    """The incremental path split across two micro-batches must produce the
+    SAME cluster partition as the batch pipeline on the same corpus (cluster
+    ids may differ; the partition of files into groups may not)."""
+    import minhash_spark as m
+    from minhash_spark.sources.fixtures import corpus_b
+
+    files, _, _ = corpus_b(n_clusters=8, n_singletons=15, seed=11)
+    df = spark.createDataFrame(files)
+    cfg = MinHashConfig(seed=0, size=128, bit=1, tokenizer="char_shingle",
+                        tokenizer_params={"k": 9}, verify_threshold=0.8)
+
+    batch_out = m.DedupPipeline(spark, m.TableIO(str(tmp_path / "b")), cfg).run(df)
+    batch = {}
+    for r in batch_out.collect():
+        batch.setdefault(r["cluster_id"], set()).add(r["file_id"])
+
+    inp, state, ckpt = (str(tmp_path / d) for d in ("in", "st", "ck"))
+    df.where("hash(path) % 2 = 0").coalesce(1).write.mode("append").parquet(inp)
+    run_incremental_dedup(spark, inp, state, ckpt, cfg, maintain_clusters=True)
+    df.where("hash(path) % 2 != 0").coalesce(1).write.mode("append").parquet(inp)
+    run_incremental_dedup(spark, inp, state, ckpt, cfg, maintain_clusters=True)
+    stream = {}
+    for r in spark.read.parquet(os.path.join(state, "clusters")).collect():
+        stream.setdefault(r["cluster_id"], set()).add(r["rep_id"])
+
+    batch_partition = {frozenset(v) for v in batch.values()}
+    stream_partition = {frozenset(v) for v in stream.values()}
+    assert batch_partition == stream_partition
