@@ -433,3 +433,36 @@ def test_fingerprint_matches_runs_on_driver_corpus(spark):
     rows = Q.q_fingerprint_matches(spark, SF).collect()
     # near-dup planted pairs in the corpus share spans; sanity: all pairs ordered
     assert all(r["a_id"] < r["b_id"] and r["n_shared_fp"] >= Q.FP_MIN_SHARED for r in rows)
+
+
+def test_text_queries_survive_unicode_and_degenerate_docs(spark, tmp_path):
+    """CJK, emoji (surrogate pairs in UTF-16), RTL, zero-width chars, empty
+    and whitespace-only docs must flow through every text query without
+    crashing and with sane outputs (the kernel's UTF-16 handling is
+    golden-tested; this pins the query layer's regex/shingle paths)."""
+    data = [
+        (0, "漢字のテキストです。これは中文混在 mixed with ascii"),
+        (1, "emoji 🎉🚀 and 𝒎𝒂𝒕𝒉 alphanumerics 🎉🚀"),
+        (2, "مرحبا بالعالم هذا نص عربي"),
+        (3, ""),
+        (4, "   \t  \n "),
+        (5, "normal english text for the control group here"),
+        (6, "zero​width​joined​text"),
+    ]
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "uni")
+    spark.createDataFrame(data, "doc_id long, text string").withColumn(
+        "lang", F.lit("xx")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text").cast("long")).write.parquet(f"{p}/documents.parquet")
+
+    for q in (Q.q_exact_dup_clusters, Q.q_minhash_signatures, Q.q_token_counts,
+              Q.q_clean_text, Q.q_doc_fingerprints, Q.q_char_ngram_dup_pairs,
+              Q.q_near_dup_pairs, Q.q_boilerplate_spans, Q.q_simhash_near_dup_pairs,
+              Q.q_fingerprint_matches, Q.q_multimodal_features):
+        rows = q(spark, p).collect()
+        assert isinstance(rows, list), q.__name__
+    sigs = {r["doc_id"]: r["sig_b64"] for r in Q.q_minhash_signatures(spark, p).collect()}
+    assert len(sigs) == 7 and all(v is not None for v in sigs.values())
+    clean = {r["doc_id"]: r["clean_text"] for r in Q.q_clean_text(spark, p).collect()}
+    assert clean[4] == "" and "漢字" in clean[0]
