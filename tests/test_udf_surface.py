@@ -234,3 +234,36 @@ def test_search_signatures_modes(spark):
 
     exact = search_signatures(sigs, qsig, qbands, mode="exact").collect()
     assert [r["rep_id"] for r in exact] == ["d1"]
+
+
+def test_sql_surface_matches_dataframe_api(spark):
+    """spark.sql results through the registered functions must be
+    byte-identical to the DataFrame-API UDFs (same kernels)."""
+    import pyspark.sql.functions as F
+
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.functions.sql import register_sql_functions
+    from minhash_spark.functions.udfs import minhash_b64_udf
+
+    register_sql_functions(spark)
+    docs = spark.createDataFrame(
+        [(1, "test 1"), (2, "test 2"), (3, "minhash from sql")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("sql_docs")
+    via_sql = {r["doc_id"]: r["sig"] for r in
+               spark.sql("SELECT doc_id, minhash_b64(text) AS sig FROM sql_docs").collect()}
+    cfg = MinHashConfig(seed=0, size=128, bit=1, tokenizer="word")
+    b64 = minhash_b64_udf(cfg)
+    via_df = {r["doc_id"]: r["sig"] for r in
+              docs.select("doc_id", b64(F.col("text")).alias("sig")).collect()}
+    assert via_sql == via_df
+    # golden vector (reference default config, MinHashPluginTest.java:163)
+    assert via_sql[1] == "Uji99jenq7da3aNKTYc8yQ=="
+    # bitmatch self-compare through SQL = 1.0
+    spark.sql(
+        "SELECT minhash_bitmatch(unbase64(minhash_b64(text)), unbase64(minhash_b64(text))) AS m "
+        "FROM sql_docs"
+    ).collect()
+    sh = spark.sql("SELECT simhash64(text) AS h FROM sql_docs").collect()
+    assert all(r["h"] is not None for r in sh)
