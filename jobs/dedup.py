@@ -53,6 +53,12 @@ def main():
     p.add_argument("--word-n", type=int, default=3)
     p.add_argument("--num-bands", type=int, default=21)
     p.add_argument("--rows-per-band", type=int, default=6)
+    p.add_argument(
+        "--auto-bands",
+        action="store_true",
+        help="derive (num-bands, rows-per-band) from --threshold via the "
+        "S-curve planner (steepest curve with candidate recall >= 0.99)",
+    )
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--max-bucket-size", type=int, default=64)
     p.add_argument("--filter-common-shingles", action="store_true")
@@ -81,14 +87,19 @@ def main():
     )
     if args.filters:
         tok_params = {**tok_params, "filters": list(args.filters)}
+    num_bands, rows_per_band = args.num_bands, args.rows_per_band
+    if args.auto_bands:
+        from minhash_spark.config import suggest_bands
+
+        num_bands, rows_per_band = suggest_bands(args.size, args.threshold)
     cfg = MinHashConfig(
         seed=args.seed,
         size=args.size,
         bit=args.bit,
         tokenizer=args.tokenizer,
         tokenizer_params=tok_params,
-        num_bands=args.num_bands,
-        rows_per_band=args.rows_per_band,
+        num_bands=num_bands,
+        rows_per_band=rows_per_band,
         verify_threshold=args.threshold,
         max_bucket_size=args.max_bucket_size,
         filter_common_shingles=args.filter_common_shingles,

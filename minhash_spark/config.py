@@ -108,3 +108,34 @@ REFERENCE_CONFIGS = {
     "analyzer2": MinHashConfig(seed=1000, size=128, bit=1, tokenizer="word"),
     "analyzer3": MinHashConfig(seed=1000, size=32, bit=2, tokenizer="word", num_bands=8, rows_per_band=4),
 }
+
+
+def suggest_bands(size: int, threshold: float, min_recall: float = 0.99) -> tuple[int, int]:
+    """LSH band plan (num_bands, rows_per_band) for a Jaccard ``threshold``
+    over ``size`` minima: the steepest S-curve whose candidate recall at the
+    threshold is still >= ``min_recall``.
+
+    Standard MMDS trade-off: P(candidate | J) = 1 - (1 - J^r)^b. Larger r
+    cuts false positives (background pairs J << t collide less) but lowers
+    recall at J = t; this picks the largest r whose recall bound holds, so
+    the candidate set is as small as the recall target allows. r need not
+    divide size — leftover minima simply don't feed bands (they still shape
+    the signature)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best: tuple[int, int] | None = None
+    for r in range(1, size + 1):
+        b = size // r
+        if b < 1:
+            break
+        recall = 1.0 - (1.0 - threshold**r) ** b
+        if recall >= min_recall:
+            best = (b, r)  # monotone: keep the largest feasible r
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) over {size} minima reaches recall {min_recall} at J={threshold}; "
+            "increase size or lower min_recall"
+        )
+    return best

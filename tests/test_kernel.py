@@ -231,3 +231,26 @@ def test_oph_jaccard_estimator():
     m = kernel.oph_mins([a, b], size=1024, seed=0)
     est = float((m[0] == m[1]).mean())
     assert abs(est - 1 / 3) < 0.08
+
+
+def test_suggest_bands_properties():
+    """Planner invariants: recall bound holds at the threshold, r maximal,
+    and the pipeline's hand-tuned 21x6 falls out of (128, 0.8)."""
+    from minhash_spark.config import suggest_bands
+
+    assert suggest_bands(128, 0.8) == (21, 6)
+    for size, t in [(128, 0.5), (128, 0.9), (64, 0.8), (32, 0.7)]:
+        b, r = suggest_bands(size, t)
+        recall = 1 - (1 - t**r) ** b
+        assert recall >= 0.99
+        assert b * r <= size
+        # maximality: one more row per band would break the recall bound
+        b2 = size // (r + 1)
+        if b2 >= 1:
+            assert 1 - (1 - t ** (r + 1)) ** b2 < 0.99
+    import pytest
+
+    with pytest.raises(ValueError):
+        suggest_bands(128, 1.5)
+    with pytest.raises(ValueError):
+        suggest_bands(1, 0.01)  # unreachable recall
