@@ -26,43 +26,17 @@ sys.path.insert(0, _ROOT)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--text", required=True)
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--size", type=int, default=128)
-    p.add_argument("--bit", type=int, default=1)
-    p.add_argument(
-        "--tokenizer",
-        default="word",
-        choices=["word", "standard", "char_shingle", "word_shingle"],
-    )
-    p.add_argument("--filters", nargs="*", default=None)
-    p.add_argument("--shingle-k", type=int, default=9)
-    p.add_argument("--word-n", type=int, default=3)
-    p.add_argument("--num-bands", type=int, default=21)
-    p.add_argument("--rows-per-band", type=int, default=6)
+    from minhash_spark.cli import add_analyzer_args, config_from_args
+
+    add_analyzer_args(p, tokenizer_default="word")
     p.add_argument("--show-tokens", action="store_true")
     args = p.parse_args()
 
     from minhash_spark import kernel
-    from minhash_spark.config import MinHashConfig
     from minhash_spark.functions.udfs import signature_for_text
     from minhash_spark.tokenize import make_tokenizer
 
-    tok_params = (
-        {"k": args.shingle_k}
-        if args.tokenizer == "char_shingle"
-        else ({"n": args.word_n} if args.tokenizer == "word_shingle" else {})
-    )
-    if args.filters:
-        tok_params = {**tok_params, "filters": list(args.filters)}
-    cfg = MinHashConfig(
-        seed=args.seed,
-        size=args.size,
-        bit=args.bit,
-        tokenizer=args.tokenizer,
-        tokenizer_params=tok_params,
-        num_bands=args.num_bands,
-        rows_per_band=args.rows_per_band,
-    )
+    cfg = config_from_args(args)
 
     sig, bands = signature_for_text(args.text, cfg)
     out = {

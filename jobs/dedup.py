@@ -35,24 +35,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="parquet (or iceberg) files table")
     p.add_argument("--checkpoints", required=True, help="root dir for stage checkpoints")
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--size", type=int, default=128)
-    p.add_argument("--bit", type=int, default=1)
-    p.add_argument(
-        "--tokenizer",
-        default="char_shingle",
-        choices=["word", "standard", "char_shingle", "word_shingle"],
-    )
-    p.add_argument(
-        "--filters",
-        nargs="*",
-        default=None,
-        help="analyzer-chain token filters in order (e.g. --filters lowercase stop)",
-    )
-    p.add_argument("--shingle-k", type=int, default=9)
-    p.add_argument("--word-n", type=int, default=3)
-    p.add_argument("--num-bands", type=int, default=21)
-    p.add_argument("--rows-per-band", type=int, default=6)
+    from minhash_spark.cli import add_analyzer_args, config_from_args
+
+    add_analyzer_args(p)
     p.add_argument(
         "--auto-bands",
         action="store_true",
@@ -75,31 +60,16 @@ def main():
     if args.shards_out and not args.shards_path:
         p.error("--shards-out requires --shards-path")
 
-    from minhash_spark.config import MinHashConfig
     from minhash_spark.plans.pipeline import DedupPipeline
     from minhash_spark.session import build_session
     from minhash_spark.sources.io import TableIO
 
-    tok_params = (
-        {"k": args.shingle_k}
-        if args.tokenizer == "char_shingle"
-        else ({"n": args.word_n} if args.tokenizer == "word_shingle" else {})
-    )
-    if args.filters:
-        tok_params = {**tok_params, "filters": list(args.filters)}
-    num_bands, rows_per_band = args.num_bands, args.rows_per_band
     if args.auto_bands:
         from minhash_spark.config import suggest_bands
 
-        num_bands, rows_per_band = suggest_bands(args.size, args.threshold)
-    cfg = MinHashConfig(
-        seed=args.seed,
-        size=args.size,
-        bit=args.bit,
-        tokenizer=args.tokenizer,
-        tokenizer_params=tok_params,
-        num_bands=num_bands,
-        rows_per_band=rows_per_band,
+        args.num_bands, args.rows_per_band = suggest_bands(args.size, args.threshold)
+    cfg = config_from_args(
+        args,
         verify_threshold=args.threshold,
         max_bucket_size=args.max_bucket_size,
         filter_common_shingles=args.filter_common_shingles,

@@ -41,53 +41,38 @@ def main():
     p.add_argument("--exact", action="store_true", help="term-query: byte-identical signatures")
     p.add_argument("--brute", action="store_true", help="score all rows (skip LSH band pruning)")
     p.add_argument("--force", action="store_true", help="skip config-hash check vs the index")
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--size", type=int, default=128)
-    p.add_argument("--bit", type=int, default=1)
-    p.add_argument(
-        "--tokenizer",
-        default="char_shingle",
-        choices=["word", "standard", "char_shingle", "word_shingle"],
-    )
-    p.add_argument("--filters", nargs="*", default=None)
-    p.add_argument("--shingle-k", type=int, default=9)
-    p.add_argument("--word-n", type=int, default=3)
-    p.add_argument("--num-bands", type=int, default=21)
-    p.add_argument("--rows-per-band", type=int, default=6)
+    from minhash_spark.cli import add_analyzer_args, config_from_args
+
+    add_analyzer_args(p)
     args = p.parse_args()
 
     from minhash_spark import kernel
-    from minhash_spark.config import MinHashConfig
     from minhash_spark.functions.udfs import signature_for_text
     from minhash_spark.plans.search import search_signatures
     from minhash_spark.session import build_session
     from minhash_spark.sources.io import TableIO
 
-    tok_params = (
-        {"k": args.shingle_k}
-        if args.tokenizer == "char_shingle"
-        else ({"n": args.word_n} if args.tokenizer == "word_shingle" else {})
-    )
-    if args.filters:
-        tok_params = {**tok_params, "filters": list(args.filters)}
-    cfg = MinHashConfig(
-        seed=args.seed,
-        size=args.size,
-        bit=args.bit,
-        tokenizer=args.tokenizer,
-        tokenizer_params=tok_params,
-        num_bands=args.num_bands,
-        rows_per_band=args.rows_per_band,
-    )
+    cfg = config_from_args(args)
 
     io = TableIO(args.checkpoints)
     m = io.manifest("signatures")
     if m is None:
         sys.exit("no signatures checkpoint under --checkpoints (run jobs/dedup.py first)")
-    if m["config_hash"] != cfg.config_hash() and not args.force:
+    # gate on the SIGNATURE-relevant config only (kernel + banding): an index
+    # built with a different --threshold or skew cap is still searchable —
+    # those knobs never reach the stored bytes. Older manifests without
+    # signature_hash fall back to the full config hash.
+    idx_sig_hash = (m.get("metrics") or {}).get("signature_hash")
+    mismatch = (
+        idx_sig_hash != cfg.signature_hash()
+        if idx_sig_hash is not None
+        else m["config_hash"] != cfg.config_hash()
+    )
+    if mismatch and not args.force:
         sys.exit(
-            f"query config {cfg.config_hash()} != index config {m['config_hash']} "
-            "(signatures are analyzer-dependent; pass the index-time flags, or --force)"
+            f"query analyzer config (signature hash {cfg.signature_hash()}) does not match "
+            f"the index ({idx_sig_hash or m['config_hash']}) — signatures are "
+            "analyzer-dependent; pass the index-time flags, or --force"
         )
 
     qsig, qbands = signature_for_text(args.text, cfg)

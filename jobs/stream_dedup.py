@@ -33,43 +33,16 @@ def main():
     p.add_argument("--state", required=True, help="state root (signatures/, edges/, clusters/)")
     p.add_argument("--checkpoint", required=True, help="Structured Streaming checkpoint dir")
     p.add_argument("--clusters", action="store_true", help="maintain the clusters table per batch")
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--size", type=int, default=128)
-    p.add_argument("--bit", type=int, default=1)
-    p.add_argument(
-        "--tokenizer",
-        default="char_shingle",
-        choices=["word", "standard", "char_shingle", "word_shingle"],
-    )
-    p.add_argument("--filters", nargs="*", default=None)
-    p.add_argument("--shingle-k", type=int, default=9)
-    p.add_argument("--word-n", type=int, default=3)
-    p.add_argument("--num-bands", type=int, default=21)
-    p.add_argument("--rows-per-band", type=int, default=6)
+    from minhash_spark.cli import add_analyzer_args, config_from_args
+
+    add_analyzer_args(p)
     p.add_argument("--threshold", type=float, default=0.8)
     args = p.parse_args()
 
-    from minhash_spark.config import MinHashConfig
     from minhash_spark.session import build_session
     from minhash_spark.streaming.incremental import run_incremental_dedup
 
-    tok_params = (
-        {"k": args.shingle_k}
-        if args.tokenizer == "char_shingle"
-        else ({"n": args.word_n} if args.tokenizer == "word_shingle" else {})
-    )
-    if args.filters:
-        tok_params = {**tok_params, "filters": list(args.filters)}
-    cfg = MinHashConfig(
-        seed=args.seed,
-        size=args.size,
-        bit=args.bit,
-        tokenizer=args.tokenizer,
-        tokenizer_params=tok_params,
-        num_bands=args.num_bands,
-        rows_per_band=args.rows_per_band,
-        verify_threshold=args.threshold,
-    )
+    cfg = config_from_args(args, verify_threshold=args.threshold)
     spark = build_session(app_name="minhash-stream-dedup")
     spark.sparkContext.setLogLevel("ERROR")
     run_incremental_dedup(

@@ -77,6 +77,24 @@ class MinHashConfig:
         payload = json.dumps(asdict(self), sort_keys=True, default=str)
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
+    # fields that determine the signature BYTES and band keys — i.e. what a
+    # query-time signature must share with the index to be comparable.
+    # Verify/skew knobs (verify_threshold, max_bucket_size, ...) deliberately
+    # excluded: they shape which PAIRS are accepted, not the stored bytes.
+    _SIGNATURE_FIELDS = (
+        "seed", "size", "bit", "scheme", "tokenizer", "tokenizer_params",
+        "num_bands", "rows_per_band", "null_value",
+        "filter_common_shingles", "common_df_ratio", "common_sample_docs",
+        "common_max_shingles",
+    )
+
+    def signature_hash(self) -> str:
+        d = asdict(self)
+        payload = json.dumps(
+            {k: d[k] for k in self._SIGNATURE_FIELDS}, sort_keys=True, default=str
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
     def validate(self) -> "MinHashConfig":
         # fail on the driver at config build, not as a KeyError inside an
         # executor UDF batch

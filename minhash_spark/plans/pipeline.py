@@ -107,7 +107,13 @@ class DedupPipeline:
             with_id = signatures.with_identity(files)
             reps = signatures.distinct_contents(with_id)
             sigs = signatures.compute_signatures(reps, cfg, exclude_sorted=exclude)
-            return sigs, {"excluded_shingles": 0 if exclude is None else int(len(exclude))}
+            return sigs, {
+                "excluded_shingles": 0 if exclude is None else int(len(exclude)),
+                # signature-relevant config identity (kernel + banding only):
+                # what a query-time signature must match to be comparable —
+                # jobs/search.py gates on this, not the full config hash
+                "signature_hash": cfg.signature_hash(),
+            }
 
         sigs = self._run_stage(
             self.T_SIG,

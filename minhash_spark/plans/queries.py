@@ -900,7 +900,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("blob"),
+        # null text -> empty blob (np.frombuffer(None) would crash the batch)
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("blob"),
         F.lit("application/octet-stream").alias("mime"),
     )
 
@@ -930,7 +931,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             bmin = np.zeros(n, dtype=np.int64)
             bmax = np.zeros(n, dtype=np.int64)
             for i, b in enumerate(blobs):
-                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                a = np.frombuffer(b or b"", dtype=np.uint8).astype(np.int64)
                 nb[i] = len(a)
                 if len(a):
                     bs[i] = a.sum()
@@ -1108,6 +1109,17 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "np.ndarray":
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .collect()
     )
+    if not sample:
+        # tiny tables can hash-sample to empty; fall back to a deterministic
+        # prefix (still bounded, still reproducible)
+        sample = (
+            emb.orderBy("vec_id")
+            .limit(16 * IVF_CELLS)
+            .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+            .collect()
+        )
+    if not sample:
+        raise ValueError("embeddings table is empty — cannot train IVF centroids")
     X = np.array([r["v"] for r in sample], dtype=np.float64)
     return _spherical_kmeans(X, IVF_CELLS, IVF_KMEANS_ITERS, seed=1234)
 
@@ -1208,7 +1220,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     row (a row-multiplying extractor, the shape a real frame sampler has),
     NumPy-batched, no shuffle."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("blob"),
     )
 
     schema = T.StructType(
@@ -1225,7 +1238,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "frame_idx", "offset", "frame_len", "frame_sum")}
             for did, blob in zip(pdf["doc_id"], pdf["blob"]):
-                a = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                a = np.frombuffer(blob or b"", dtype=np.uint8).astype(np.int64)
                 n = len(a)
                 for i in range(MM_FRAMES):
                     off = (i * n) // MM_FRAMES

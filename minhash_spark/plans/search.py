@@ -37,10 +37,13 @@ def search_signatures(
     or (rep_id, sig_b64-compatible columns) for exact."""
     if mode == "exact":
         return sigs.where(F.col("sig") == F.lit(bytearray(qsig))).limit(top_k)
-    cand = sigs
+    # null signatures (null-content docs) and width-mismatched rows would
+    # score NaN, and Spark sorts NaN ABOVE every number — they'd outrank
+    # every real match. Filter them before scoring.
+    cand = sigs.where(F.col("sig").isNotNull() & (F.length("sig") == len(qsig)))
     if mode == "lsh":
         band_lit = F.array(*[F.lit(b) for b in qbands])
-        cand = sigs.where(F.arrays_overlap(F.col("bands"), band_lit))
+        cand = cand.where(F.arrays_overlap(F.col("bands"), band_lit))
     elif mode != "brute":
         raise ValueError(f"unknown search mode {mode!r}")
     bitmatch = sig_bitmatch_udf()

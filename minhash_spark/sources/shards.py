@@ -46,21 +46,17 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    shards = []
-    import pyarrow.parquet as pq
+    from minhash_spark.sources.io import _parquet_partition_stats
 
+    shards = []
     for k in range(n_shards):
         d = os.path.join(path, f"shard={k}")
-        rows = 0
-        size = 0
-        if os.path.isdir(d):
-            for root, _dirs, files in os.walk(d):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        full = os.path.join(root, f)
-                        rows += pq.ParquetFile(full).metadata.num_rows
-                        size += os.stat(full).st_size
-        shards.append({"shard": k, "rows": rows, "bytes": size})
+        rows, parts, _stats = (
+            _parquet_partition_stats(d) if os.path.isdir(d) else (0, [], {})
+        )
+        shards.append(
+            {"shard": k, "rows": rows, "bytes": sum(p["bytes"] for p in parts)}
+        )
     total = sum(s["rows"] for s in shards)
     mean = total / n_shards if n_shards else 0.0
     manifest = {

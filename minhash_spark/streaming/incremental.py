@@ -161,13 +161,14 @@ def run_incremental_dedup(
                 F.col("node").alias("rep_id"),
                 F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
             )
-            # full overwrite (derived table): trivially idempotent on replay
-            tmp = clusters_dir + ".tmp"
-            clustered.write.mode("overwrite").parquet(tmp)
-            import shutil
-
-            shutil.rmtree(clusters_dir, ignore_errors=True)
-            os.rename(tmp, clusters_dir)
+            # full overwrite of a DERIVED table (rebuilt from edges+signatures
+            # every batch) through Spark's writer: works on any filesystem
+            # (no local-only rename), idempotent on replay, and a crash
+            # mid-write just leaves the table to be rebuilt next batch —
+            # nothing irrecoverable is lost. localCheckpoint first: Spark
+            # cannot overwrite a path that feeds the plan being written, and
+            # the plan reads sig_dir (also being appended this batch).
+            clustered.localCheckpoint().write.mode("overwrite").parquet(clusters_dir)
 
     q = (
         signature_stream(spark, input_dir, cfg)

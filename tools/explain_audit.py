@@ -32,7 +32,9 @@ AUDITED = [
     "decontaminate",
     "boilerplate_spans",
     "repetition_scores",
-    "fingerprint_matches",
+    # fingerprint_matches omitted: it localCheckpoint()s eagerly, so building
+    # it here would RUN the corpus UDF and the captured plan would start at a
+    # lineage-truncated Scan ExistingRDD — auditing nothing useful
     "event_props_rollup",
 ]
 
