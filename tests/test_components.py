@@ -148,3 +148,23 @@ def test_training_shards_deterministic_and_balanced(spark, tmp_path):
     assert a == b and len(a) == 2000
     # every row lands in exactly one shard
     assert sum(s["rows"] for s in m1["shards"]) == 2000
+
+
+def test_signature_hash_ignores_verify_knobs():
+    """signature_hash must be invariant to pair-acceptance knobs (an index
+    stays searchable across them) but sensitive to anything that changes the
+    stored bytes or band keys."""
+    import dataclasses
+
+    from minhash_spark.config import MinHashConfig
+
+    a = MinHashConfig(seed=0, size=128, bit=1, tokenizer="char_shingle",
+                      tokenizer_params={"k": 9})
+    b = dataclasses.replace(a, verify_threshold=0.5, max_bucket_size=16,
+                            containment_threshold=0.9, substring_verify=True)
+    assert a.signature_hash() == b.signature_hash()
+    assert a.config_hash() != b.config_hash()
+    for change in ({"seed": 7}, {"size": 64}, {"bit": 2}, {"scheme": "oph"},
+                   {"tokenizer": "word"}, {"num_bands": 16, "rows_per_band": 8}):
+        c = dataclasses.replace(a, **change)
+        assert a.signature_hash() != c.signature_hash(), change
