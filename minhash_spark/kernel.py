@@ -685,7 +685,12 @@ def to_bit_string(sig: bytes) -> str:
 def compare(sig_a: bytes, sig_b: bytes) -> float:
     """Fraction of equal bits (MinHash.compare library surface, SURVEY §2.1.6).
 
-    Estimates ``J + (1-J)/2^b`` for b-bit signatures of Jaccard-J token sets.
+    Estimates ``J + (1-J)/2`` for b-bit signatures of Jaccard-J token sets,
+    for ANY bit width: matching minima (prob J) agree on all their sampled
+    bits, differing minima agree per bit with prob 1/2 (low bits of
+    independent 64-bit minima are uniform). Note this per-BIT statistic
+    differs from the b-bit paper's per-BLOCK collision rate J + (1-J)/2^b —
+    the reference's MinHash.compare is also per-bit (popcount of XOR).
     Inputs must be the FIXED-width packed form (equal length).
     """
     a = np.frombuffer(sig_a, dtype=np.uint8)
@@ -699,9 +704,14 @@ def compare(sig_a: bytes, sig_b: bytes) -> float:
 
 
 def estimate_jaccard(bit_match: float, bit: int) -> float:
-    """Invert E[bit-match] = J + (1-J)/2^b  =>  J = (p - q) / (1 - q), q=2^-b."""
-    q = 2.0 ** (-bit)
-    return max(0.0, min(1.0, (bit_match - q) / (1.0 - q)))
+    """Invert E[per-bit match] = J + (1-J)/2  =>  J = 2p - 1 (clamped).
+
+    Independent of ``bit``: compare() measures PER-BIT equality, whose
+    baseline for differing minima is 1/2 at every bit width (the 2^-b figure
+    is the per-BLOCK collision rate — a different statistic). The ``bit``
+    parameter is kept for API stability."""
+    del bit
+    return max(0.0, min(1.0, 2.0 * bit_match - 1.0))
 
 
 # ---------------------------------------------------------------------------

@@ -114,13 +114,18 @@ def connected_components(
                 F.col("component").cast(dict(edges.dtypes)["u"]).alias("component"),
             )
         return spark.createDataFrame(result)
-    prev_fp = None
+    prev, prev_fp = cur, None
     for _ in range(max_rounds):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+        cur = _small_star(_large_star(prev)).localCheckpoint()
         fp = _edge_fingerprint(cur)
-        if fp == prev_fp:
+        # fingerprint equality is the FAST suspicion check; a (count,
+        # hash-sum) collision between different edge sets would otherwise
+        # terminate early with wrong components, so the suspected fixpoint
+        # is confirmed with an exact set comparison (runs once, at
+        # convergence — not per round)
+        if fp == prev_fp and cur.exceptAll(prev).isEmpty():
             break
-        prev_fp = fp
+        prev, prev_fp = cur, fp
     else:  # pragma: no cover
         raise RuntimeError("connected_components did not converge")
     # fixpoint is a star graph: v is the component minimum for each u

@@ -38,8 +38,13 @@ def verify_pairs(
     sim = similarity_udf(cfg, exclude_sorted=exclude_sorted)
 
     est_min = cfg.verify_threshold - cfg.sig_prefilter_margin
-    q = 2.0 ** (-cfg.bit)
-    # bit-match p estimates J + (1-J)/2^b  =>  required p >= est_min*(1-q)+q
+    # sig_bitmatch_udf measures PER-BIT equality: matching minima (prob J)
+    # agree on all b sampled bits, differing minima agree per bit with prob
+    # 1/2 (low bits of independent 64-bit minima are uniform) — E[bit match]
+    # = J + (1-J)/2 for EVERY bit width, so the inversion uses q = 1/2, not
+    # 2^-b (2^-b is the per-BLOCK collision rate, a different statistic;
+    # using it made the prefilter nearly a no-op for bit > 1)
+    q = 0.5
     p_min = est_min * (1.0 - q) + q
     if cfg.containment_threshold is not None:
         # containment pairs (small file inside big) can have arbitrarily low

@@ -165,11 +165,16 @@ class DedupPipeline:
         def build_clusters_all():
             # expand representative clusters back to every file (exact dups
             # rejoin via content_sha256); per-row invariant column preserved.
+            # eqNullSafe: NULL-content files carry content_sha256 = NULL, and
+            # a plain equi-join would silently drop them from the output
+            # (cfg.null_value exists precisely because null docs are signed).
             with_id = signatures.with_identity(files)
             rep_map = sigs.select("content_sha256", "rep_id").join(clusters, "rep_id")
-            out = with_id.select("file_id", "repo", "path", "commit", "lang", "content_sha256").join(
-                rep_map.select("content_sha256", "cluster_id"), "content_sha256"
-            )
+            lhs = with_id.select("file_id", "repo", "path", "commit", "lang", "content_sha256")
+            rhs = rep_map.select(F.col("content_sha256").alias("rep_sha"), "cluster_id")
+            out = lhs.join(
+                rhs, lhs["content_sha256"].eqNullSafe(rhs["rep_sha"])
+            ).drop("rep_sha")
             return out, {}
 
         return self._run_stage(

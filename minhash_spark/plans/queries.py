@@ -766,16 +766,8 @@ def q_signature_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event analytics (events table: sessionization + windowed rollups)
 # ---------------------------------------------------------------------------
 
-SESSION_GAP_S = 1800  # classic 30-minute inactivity gap
-
-
-def _ntz_epoch(col: str) -> F.Column:
-    """Whole-second epoch of a TIMESTAMP_NTZ column, independent of the
-    session timezone (a plain cast would reinterpret NTZ in session-local
-    time; timestampdiff against the NTZ epoch literal does not)."""
-    return F.expr(
-        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
-    )
+from minhash_spark.functions.timeutil import SESSION_GAP_S, ntz_epoch as _ntz_epoch  # noqa: E402
+# (shared with the streaming twins — see functions/timeutil.py)
 
 
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

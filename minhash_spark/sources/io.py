@@ -76,10 +76,12 @@ def _parquet_rows(path: str) -> int:
 
 def input_fingerprint(df: DataFrame) -> str | None:
     """Cheap dataset identity for resume gating: sha256 of the sorted
-    (path, size) listing of the DataFrame's backing files. Catches added,
-    removed, and rewritten input files without a Spark job. Returns None for
-    non-file-backed DataFrames (in-memory test frames) — callers may supply
-    their own fingerprint instead."""
+    (path, size, mtime_ns) listing of the DataFrame's backing files. Catches
+    added, removed, and rewritten input files without a Spark job — mtime is
+    included because a same-length rewrite (regenerated fixed-width fixture)
+    leaves (path, size) unchanged. Returns None for non-file-backed
+    DataFrames (in-memory test frames) — callers may supply their own
+    fingerprint instead."""
     import hashlib
     from urllib.parse import urlparse
 
@@ -90,10 +92,11 @@ def input_fingerprint(df: DataFrame) -> str | None:
     for uri in files:
         p = urlparse(uri)
         path = p.path if p.scheme in ("", "file") else None
-        size = -1
+        size, mtime = -1, -1
         if path and os.path.exists(path):
-            size = os.stat(path).st_size
-        h.update(f"{uri}\x00{size}\n".encode())
+            st = os.stat(path)
+            size, mtime = st.st_size, st.st_mtime_ns
+        h.update(f"{uri}\x00{size}\x00{mtime}\n".encode())
     return h.hexdigest()[:16]
 
 

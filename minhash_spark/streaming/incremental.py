@@ -40,10 +40,12 @@ def signature_stream(
     spark: SparkSession, input_dir: str, cfg: MinHashConfig
 ) -> DataFrame:
     """readStream(files) -> streaming DataFrame of signatures (narrow map)."""
+    from minhash_spark.functions.udfs import file_id_col
+
     sig = minhash_struct_udf(cfg)
     stream = spark.readStream.schema(FILES_SCHEMA).parquet(input_dir)
     return (
-        stream.withColumn("file_id", F.sha2(F.concat_ws("", "repo", "path", "commit"), 256))
+        stream.withColumn("file_id", file_id_col())
         .withColumn("content_sha256", F.sha2(F.col("content"), 256))
         .withColumn("s", sig(F.col("content")))
         .select(
@@ -114,26 +116,65 @@ def run_incremental_dedup(
         new_sigs = batch_df.select(
             F.col("file_id").alias("rep_id"), "content", "content_sha256", "sig", "bands"
         )
-        try:
-            hist = spark.read.parquet(sig_dir).select("rep_id", "content", "sig", "bands")
-        except Exception:
-            hist = None
+        # history = previously committed batches ONLY. Two deliberate choices:
+        # (a) missing-dir check instead of a bare except — a transient read
+        #     error must FAIL the batch (swallowing it would verify new docs
+        #     only against each other and permanently lose new-vs-history
+        #     edges once the batch commits);
+        # (b) exclude THIS batch_id — foreachBatch is at-least-once, and on
+        #     replay the crashed attempt's own partition is already on disk;
+        #     including it duplicates every rep_id in `union` and fans out
+        #     the verify joins.
+        hist = None
+        if os.path.isdir(sig_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(sig_dir)
+        ):
+            hist = (
+                spark.read.parquet(sig_dir)
+                .where(F.col("batch_id") != batch_id)
+                .select("rep_id", "content", "sig", "bands")
+            )
         union = new_sigs.select("rep_id", "content", "sig", "bands")
         if hist is not None:
             union = union.unionByName(hist)
         new_buckets = new_sigs.select("rep_id", F.explode("bands").alias("band_hash"))
         all_buckets = union.select("rep_id", F.explode("bands").alias("band_hash"))
-        # candidates: at least one side new; a<b dedup keeps pairs unique
-        cand = (
+        # skew control, same policy as the batch path (lsh.candidate_pairs):
+        # a boilerplate band accumulating m history members would otherwise
+        # emit m pairs per new doc per batch — O(m^2) cumulative. Buckets at
+        # or under the cap pair all-new-x-member; oversized buckets pair new
+        # docs with the bucket REPRESENTATIVE (min rep_id) only, preserving
+        # cluster connectivity through the star center.
+        bucket_stats = all_buckets.groupBy("band_hash").agg(
+            F.count("*").alias("bucket_size"), F.min("rep_id").alias("bucket_min")
+        )
+        small = all_buckets.join(
+            bucket_stats.where(F.col("bucket_size") <= cfg.max_bucket_size).select("band_hash"),
+            "band_hash",
+            "left_semi",
+        )
+        cand_small = (
             new_buckets.alias("a")
-            .join(all_buckets.alias("b"), "band_hash")
+            .join(small.alias("b"), "band_hash")
             .where(F.col("a.rep_id") != F.col("b.rep_id"))
             .select(
                 F.least(F.col("a.rep_id"), F.col("b.rep_id")).alias("a_id"),
                 F.greatest(F.col("a.rep_id"), F.col("b.rep_id")).alias("b_id"),
             )
-            .dropDuplicates(["a_id", "b_id"])
         )
+        cand_star = (
+            new_buckets.join(
+                bucket_stats.where(F.col("bucket_size") > cfg.max_bucket_size)
+                .select("band_hash", "bucket_min"),
+                "band_hash",
+            )
+            .where(F.col("rep_id") != F.col("bucket_min"))
+            .select(
+                F.least(F.col("rep_id"), F.col("bucket_min")).alias("a_id"),
+                F.greatest(F.col("rep_id"), F.col("bucket_min")).alias("b_id"),
+            )
+        )
+        cand = cand_small.unionByName(cand_star).dropDuplicates(["a_id", "b_id"])
         sigs_only = union.select("rep_id", "sig")
         contents = union.select("rep_id", "content")
         edges = verify.verify_pairs(cand, sigs_only, contents, cfg)

@@ -33,7 +33,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from minhash_spark.streaming.windows import EVENTS_SCHEMA
 
-SESSION_GAP_S = 1800
+from minhash_spark.functions.timeutil import SESSION_GAP_S  # noqa: E402
+# how long a flushed user's session-counter sentinel survives with no new
+# events before the state row is dropped entirely (bounds state size to
+# users active within the retention window instead of every user ever seen;
+# a user returning later restarts at session_idx 1, disclosed)
+STATE_RETENTION_S = 30 * 24 * 3600
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -75,14 +80,21 @@ def _session_func(
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
-        # watermark passed last+gap with no new events: flush the open
-        # session but KEEP the session counter — removing the whole state
-        # would restart idx at 1 if this user's events resume in a later
-        # batch, re-emitting already-used (user_id, session_idx) keys
         start, last, cnt, idx = state.get
         if start >= 0:
-            state.update((-1, -1, 0, idx + 1))
+            # watermark passed last+gap with no new events: flush the open
+            # session but KEEP the session counter as a sentinel — removing
+            # the whole state would restart idx at 1 if this user's events
+            # resume, re-emitting already-used (user_id, session_idx) keys.
+            # The sentinel gets its own RETENTION timeout so it does not
+            # live forever (two-phase expiry; without it the state store
+            # grows one permanent row per user ever seen).
+            state.update((-1, last, 0, idx + 1))
+            state.setTimeoutTimestamp((last + STATE_RETENTION_S) * 1000)
             yield pd.DataFrame([_close(user_id, idx, start, last, cnt)])
+        else:
+            # sentinel expired: user inactive past retention — drop the row
+            state.remove()
         return
 
     events = pd.concat(list(pdfs), ignore_index=True)
@@ -117,11 +129,10 @@ def _session_func(
 def sessionize_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     """readStream(events) -> append stream of CLOSED sessions."""
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
-    ntz_epoch = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
+    from minhash_spark.functions.timeutil import ntz_epoch
+
     withered = (
-        stream.withColumn("epoch", ntz_epoch)
+        stream.withColumn("epoch", ntz_epoch("ts"))
         .withColumn("ts_utc", F.timestamp_seconds(F.col("epoch")))
         .withWatermark("ts_utc", "0 seconds")
         .select("user_id", "event_id", "epoch", "ts_utc")

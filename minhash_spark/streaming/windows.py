@@ -52,9 +52,9 @@ def windowed_counts_stream(
     floor-to-second never moves an event across a window edge, and the
     emitted window_start epochs match the batch query exactly."""
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
-    ntz_epoch = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
+    from minhash_spark.functions.timeutil import ntz_epoch as _ntz
+
+    ntz_epoch = _ntz("ts")
     win = F.window("ts_utc", window)
     epoch = F.unix_seconds(F.col("w.start"))
     return (
