@@ -232,7 +232,7 @@ def distinct_window_hashes_udf(cfg: MinHashConfig):
         n = len(str_list)
         if len(batch.starts) == 0:
             return pd.Series([[] for _ in range(n)])
-        h = kernel._window_hashes_seed0(batch)[0].view(np.int64)
+        h = kernel.window_h1_seed0(batch)
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(batch.counts, out=offs[1:])
         return pd.Series([np.unique(h[offs[d] : offs[d + 1]]) for d in range(n)])
@@ -281,7 +281,7 @@ def _unique_id_sets(
         offs = np.zeros(len(uniq_texts) + 1, dtype=np.int64)
         np.cumsum(batch.counts, out=offs[1:])
         h = (
-            kernel._window_hashes_seed0(batch)[0].view(np.int64)
+            kernel.window_h1_seed0(batch)
             if len(batch.starts)
             else np.empty(0, dtype=np.int64)
         )

@@ -214,16 +214,10 @@ def _segment_min(
     small = np.flatnonzero((counts > 0) & (counts <= 64))
     large = np.flatnonzero(counts > 64)
 
-    # -- large docs: straightforward per-doc gather+min (SIMD inner dim) -----
-    for d in large:
-        ids = tok_ids[offsets[d] : offsets[d + 1]]
-        mins[d] = uhash[ids].min(axis=0)
-
-    if len(small) == 0:
-        return mins
-
-    # -- small docs: dense cube; rank compression when vocab fits uint16 ----
-    use_ranks = n_uniq <= 0xFFFF
+    # rank compression when the batch vocabulary fits uint16: gather 2-byte
+    # sort-ranks instead of 8-byte values (4x less memory traffic — the
+    # gather IS the cost for large docs), map winning ranks back at the end
+    use_ranks = n_uniq <= 0xFFFF and (len(small) > 0 or len(large) > 0)
     if use_ranks:
         order = np.argsort(uhash, axis=0, kind="stable")
         sorted_vals = np.take_along_axis(uhash, order, axis=0)
@@ -233,8 +227,21 @@ def _segment_min(
         table = ranks
     else:
         table = uhash
-    by_count = small[np.argsort(counts[small], kind="stable")]
     cols = np.arange(size)
+
+    # -- large docs: per-doc gather + min (2-byte rank gather when possible) -
+    for d in large:
+        ids = tok_ids[offsets[d] : offsets[d + 1]]
+        if use_ranks:
+            mins[d] = sorted_vals[table[ids].min(axis=0).astype(np.intp), cols]
+        else:
+            mins[d] = uhash[ids].min(axis=0)
+
+    if len(small) == 0:
+        return mins
+
+    # -- small docs: dense padded cube reduced chunk-wise ---------------------
+    by_count = small[np.argsort(counts[small], kind="stable")]
     for i in range(0, len(by_count), docs_per_chunk):
         sel = by_count[i : i + docs_per_chunk]
         w = int(counts[sel].max())
@@ -455,6 +462,123 @@ def _window_hashes_seed0(
     return h1o, h2o
 
 
+# ---------------------------------------------------------------------------
+# batch window dedup via rolling keys (cheap grouping; murmur stays the
+# public shingle identity and is computed only on distinct windows)
+# ---------------------------------------------------------------------------
+
+_RB1 = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+_RB2 = np.uint64(0xDA942042E4DD58B5)  # odd, independent base
+_RB1_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+_RB2_INV = np.uint64(pow(0xDA942042E4DD58B5, -1, 1 << 64))
+_RLEN_MIX = np.uint64(0x165667B19E3779F9)
+
+
+def _pow_array(base: np.uint64, n: int) -> np.ndarray:
+    """[base^0 .. base^(n-1)] mod 2^64. NumPy's u64 cumprod is a ~50x-slower
+    scalar scan, so build it as outer(base^(qK), base^r) with python-int
+    scalar power chains (K=2048: ~n/K + K scalar muls, then one SIMD outer)."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    K = 1 << 11
+    m = (1 << 64) - 1
+    b = int(base)
+    ns = min(n, K)
+    small = np.empty(ns, dtype=np.uint64)
+    cur = 1
+    for i in range(ns):
+        small[i] = cur
+        cur = (cur * b) & m
+    nq = (n + K - 1) // K
+    bigstep = pow(b, K, 1 << 64)
+    big = np.empty(nq, dtype=np.uint64)
+    cur = 1
+    for q in range(nq):
+        big[q] = cur
+        cur = (cur * bigstep) & m
+    with np.errstate(over="ignore"):
+        return np.multiply.outer(big, small).ravel()[:n]
+
+
+def _roll_base(
+    u: np.ndarray, starts: np.ndarray, ends: np.ndarray, base: np.uint64, base_inv: np.uint64
+) -> np.ndarray:
+    """Polynomial window hash H(s,e) = sum_{j=s}^{e-1} u[j]*base^(e-1-j)
+    (mod 2^64) for every window, from two prefix passes over the buffer."""
+    n = len(u)
+    with np.errstate(over="ignore"):
+        powinv = _pow_array(base_inv, n)
+        powb = _pow_array(base, n)
+        pref = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(u * powinv, out=pref[1:])
+        return (pref[ends] - pref[starts]) * powb[ends - 1]
+
+
+def _window_roll_keys(batch: _ShingleBatch) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit rolling dedup keys (two independent bases, length-mixed) for
+    every window. NOT a shingle identity — only groups byte-identical
+    windows so the murmur passes run once per DISTINCT window (boilerplate-
+    heavy corpora dedup 10-100x per batch). Random collision odds ~n^2/2^128;
+    the string path stays the exactness oracle in tests."""
+    u = batch.buf.astype(np.uint64)
+    lens = (batch.bytelens() // 2).astype(np.uint64)
+    starts = batch.starts
+    ends = starts + lens.astype(np.int64)
+    with np.errstate(over="ignore"):
+        r1 = _fmix64(_roll_base(u, starts, ends, _RB1, _RB1_INV) ^ lens * _RLEN_MIX)
+        r2 = _fmix64(_roll_base(u, starts, ends, _RB2, _RB2_INV) ^ lens * _RLEN_MIX)
+    return r1, r2
+
+
+def _window_dedup(batch: _ShingleBatch) -> tuple[np.ndarray, np.ndarray]:
+    """Group byte-identical windows: returns (tok_ids, rep_rows) where
+    ``rep_rows`` indexes one representative window per distinct key and
+    ``tok_ids[w]`` maps window w to its representative's position in
+    ``rep_rows``. Single-key stable sort on r1 with r2 as a tie-splitter:
+    interleaved r1-collisions may split a true group (extra murmur work,
+    never a wrong merge — merging needs both 64-bit keys equal adjacently)."""
+    r1, r2 = _window_roll_keys(batch)
+    order = np.argsort(r1, kind="stable")
+    r1s, r2s = r1[order], r2[order]
+    new = np.empty(len(order), dtype=bool)
+    new[0] = True
+    new[1:] = (r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])
+    tok_ids = np.empty(len(order), dtype=np.int64)
+    tok_ids[order] = np.cumsum(new) - 1
+    return tok_ids, order[new]
+
+
+def _rep_seed_hash(
+    batch: _ShingleBatch,
+    rep_rows: np.ndarray,
+    seeds: np.ndarray,
+    token_chunk: int = 1 << 12,
+) -> np.ndarray:
+    """murmur3_x64_128 h1 lane per (representative window, seed) — the exact
+    per-window premix+fold path, applied to distinct windows only."""
+    starts = batch.starts[rep_rows]
+    blens = batch.bytelens()[rep_rows]
+    n = len(rep_rows)
+    out = np.empty((n, len(seeds)), dtype=np.int64)
+    for lo in range(0, n, token_chunk):
+        hi = min(lo + token_chunk, n)
+        k1p, k2p, nb, bl = _premix_windows_u16(batch, starts[lo:hi], blens[lo:hi])
+        out[lo:hi] = _fold_seeds(k1p, k2p, nb, bl, seeds)
+    return out
+
+
+def window_h1_seed0(batch: _ShingleBatch) -> np.ndarray:
+    """Per-window murmur h1 (seed 0) — same values as
+    ``_window_hashes_seed0(batch)[0]`` but computed dedup-first: rolling-key
+    grouping, one murmur per distinct window, gather back. The drop-in fast
+    path for every consumer that uses h1 as the shingle identity."""
+    if len(batch.starts) == 0:
+        return np.empty(0, dtype=np.int64)
+    tok_ids, rep_rows = _window_dedup(batch)
+    h1rep = _rep_seed_hash(batch, rep_rows, _seed_longs(0, 1))[:, 0]
+    return h1rep[tok_ids]
+
+
 def minhash_mins_char_shingle(
     texts: list[str],
     k: int = 9,
@@ -479,36 +603,37 @@ def minhash_mins_char_shingle(
     batch = _ShingleBatch(texts, k)
     if len(batch.starts) == 0:
         return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
-    h1, h2 = _window_hashes_seed0(batch)
-    if exclude_sorted is not None and len(exclude_sorted):
-        keep = ~_in_sorted(h1.view(np.int64), exclude_sorted)
-        if not keep.all():
-            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), batch.counts)
-            h1, h2 = h1[keep], h2[keep]
-            batch.starts = batch.starts[keep]
-            batch.counts = np.bincount(doc_of[keep], minlength=n_docs)
-            if len(batch.starts) == 0:
-                return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
-    order = np.lexsort((h2, h1))
-    h1s, h2s = h1[order], h2[order]
-    new = np.empty(len(order), dtype=bool)
-    new[0] = True
-    new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
-    gid_sorted = np.cumsum(new) - 1
-    tok_ids = np.empty(len(order), dtype=np.int64)
-    tok_ids[order] = gid_sorted
-    rep_rows = order[new]  # first window per unique shingle
-    bytelens = batch.bytelens()
-    rep_starts = batch.starts[rep_rows]
-    rep_blens = bytelens[rep_rows]
+    tok_ids, rep_rows = _window_dedup(batch)
     seeds = _seed_longs(seed, size)
-    n_uniq = len(rep_rows)
-    uhash = np.empty((n_uniq, size), dtype=np.int64)
-    for lo in range(0, n_uniq, token_chunk):
-        hi = min(lo + token_chunk, n_uniq)
-        k1p, k2p, nb, bl = _premix_windows_u16(batch, rep_starts[lo:hi], rep_blens[lo:hi])
-        uhash[lo:hi] = _fold_seeds(k1p, k2p, nb, bl, seeds)
-    return _segment_min(uhash, tok_ids, batch.counts)
+    uhash = _rep_seed_hash(batch, rep_rows, seeds, token_chunk)
+    if exclude_sorted is not None and len(exclude_sorted):
+        # exclusion identity is murmur h1 seed 0 (what common_shingles
+        # publishes); when seed==0 it is already column 0 of the fold
+        if seed == 0:
+            h1rep = uhash[:, 0]
+        else:
+            h1rep = _rep_seed_hash(batch, rep_rows, _seed_longs(0, 1), token_chunk)[:, 0]
+        drop = _in_sorted(h1rep, exclude_sorted)
+        if drop.any():
+            # LONG_MAX rows are no-ops under min; a doc whose every window
+            # is excluded stays all-LONG_MAX (empty-stream semantics), same
+            # as dropping the windows outright
+            uhash[np.flatnonzero(drop)] = LONG_MAX
+    counts = batch.counts
+    n_uniq = uhash.shape[0]
+    if n_uniq * 4 < len(tok_ids):
+        # dedup-heavy batch: collapse repeated (doc, shingle) pairs before the
+        # min-reduce — one flat sort replaces a 4x+ larger rank gather
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        key = np.sort(doc_of * np.int64(n_uniq) + tok_ids)
+        new = np.empty(len(key), dtype=bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+        sel = key[new]
+        doc2 = sel // n_uniq
+        tok_ids = sel - doc2 * n_uniq
+        counts = np.bincount(doc2, minlength=n_docs)
+    return _segment_min(uhash, tok_ids, counts)
 
 
 def _premix_windows_u16(
@@ -628,19 +753,23 @@ def oph_mins_char_shingle(
     seed: int = 0,
     exclude_sorted: np.ndarray | None = None,
 ) -> np.ndarray:
-    """OPH fast path for char shingles: windows hashed once (h1 lane, seed 0),
-    no dedup or per-seed re-hash needed — cost is O(total_shingles), not
+    """OPH fast path for char shingles: each DISTINCT window in the batch is
+    murmur-hashed once (h1 lane, seed 0; rolling-key dedup groups duplicates
+    first), minima via one (doc, bin) segmented pass — cost is
+    O(total_shingles) sort + O(unique_shingles) hash, not
     O(unique_shingles x size). This is the intended kernel at 100 TB."""
     n_docs = len(texts)
     batch = _ShingleBatch(texts, k)
     if len(batch.starts) == 0:
         return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
-    h1, _h2 = _window_hashes_seed0(batch)
+    tok_ids, rep_rows = _window_dedup(batch)
+    h1rep = _rep_seed_hash(batch, rep_rows, _seed_longs(0, 1))[:, 0]
+    h1 = h1rep[tok_ids]
     doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), batch.counts)
     if exclude_sorted is not None and len(exclude_sorted):
-        keep = ~_in_sorted(h1.view(np.int64), exclude_sorted)
+        keep = ~_in_sorted(h1rep, exclude_sorted)[tok_ids]
         h1, doc_ids = h1[keep], doc_ids[keep]
-    return _oph_from_pairs(h1.view(np.int64), doc_ids, n_docs, size, seed)
+    return _oph_from_pairs(h1, doc_ids, n_docs, size, seed)
 
 
 # ---------------------------------------------------------------------------

@@ -855,7 +855,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         nf = np.zeros(n, dtype=np.int64)
         fx = np.zeros(n, dtype=np.int64)
         if len(batch.starts):
-            h1, _ = kernel._window_hashes_seed0(batch)
+            h1 = kernel.window_h1_seed0(batch)
             offs = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(batch.counts, out=offs[1:])
             for d in range(n):
@@ -1305,7 +1305,7 @@ def _fingerprint_udf():
         n = len(texts)
         out = [[] for _ in range(n)]
         if len(batch.starts):
-            h1, _ = kernel._window_hashes_seed0(batch)
+            h1 = kernel.window_h1_seed0(batch)
             offs = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(batch.counts, out=offs[1:])
             for d in range(n):
