@@ -98,7 +98,7 @@ class MinHashConfig:
     def validate(self) -> "MinHashConfig":
         # fail on the driver at config build, not as a KeyError inside an
         # executor UDF batch
-        from minhash_spark.tokenize import TOKEN_FILTERS, TOKENIZERS
+        from minhash_spark.tokenize import CHAR_FILTERS, TOKEN_FILTERS, TOKENIZERS
 
         if self.tokenizer not in TOKENIZERS:
             raise ValueError(
@@ -109,6 +109,12 @@ class MinHashConfig:
             if fname not in TOKEN_FILTERS:
                 raise ValueError(
                     f"unknown token filter {fname!r}; choose from {sorted(TOKEN_FILTERS)}"
+                )
+        for spec in self.tokenizer_params.get("char_filters") or ():
+            fname = spec if isinstance(spec, str) else spec[0]
+            if fname not in CHAR_FILTERS:
+                raise ValueError(
+                    f"unknown char filter {fname!r}; choose from {sorted(CHAR_FILTERS)}"
                 )
         if self.num_bands * self.rows_per_band > self.size:
             raise ValueError("num_bands*rows_per_band must be <= size")

@@ -38,7 +38,16 @@ SIG_STRUCT_TYPE = T.StructType(
 # (unique shingles x size) int64, so bound total input chars per kernel call
 # (~150k chars -> <=150k windows -> <=150 MB at size=128) to stay inside the
 # reused worker heap even with 32 concurrent workers per node.
-_MAX_CHARS_PER_KERNEL_CALL = 96_000
+#
+# Sizing: windows scale ~1:1 with chars, and the char-shingle kernel's peak
+# temporaries are a few 8-byte arrays over windows (~300-500 MB/worker at
+# 8M chars — heap-reused across batches under the raised malloc thresholds).
+# Too SMALL a cap is far worse than too large: slicing a 1024-doc Arrow
+# batch into 96 KB kernel calls cut batch-wide window dedup from ~110x to
+# ~11x and re-paid per-call fixed costs, measuring 17.7 s vs 3.8 s for the
+# same 1024 docs (the whole-batch call also lets the 128-seed fold run once
+# per GLOBAL unique window). 8M chars ≈ one full Arrow batch of 5 KB docs.
+_MAX_CHARS_PER_KERNEL_CALL = 8_000_000
 
 
 def _slices_by_chars(str_list: list[str], max_chars: int):

@@ -216,8 +216,13 @@ def _segment_min(
 
     # rank compression when the batch vocabulary fits uint16: gather 2-byte
     # sort-ranks instead of 8-byte values (4x less memory traffic — the
-    # gather IS the cost for large docs), map winning ranks back at the end
-    use_ranks = n_uniq <= 0xFFFF and (len(small) > 0 or len(large) > 0)
+    # gather IS the cost), map winning ranks back at the end. Building the
+    # table costs an argsort of (n_uniq x size); only worth it when the
+    # gather volume dwarfs it — small-doc cubes always qualify, large docs
+    # only on dedup-heavy batches (many window instances per unique)
+    use_ranks = n_uniq <= 0xFFFF and (
+        len(small) > 0 or len(tok_ids) > 4 * n_uniq
+    )
     if use_ranks:
         order = np.argsort(uhash, axis=0, kind="stable")
         sorted_vals = np.take_along_axis(uhash, order, axis=0)
@@ -567,16 +572,42 @@ def _rep_seed_hash(
     return out
 
 
-def window_h1_seed0(batch: _ShingleBatch) -> np.ndarray:
-    """Per-window murmur h1 (seed 0) — same values as
-    ``_window_hashes_seed0(batch)[0]`` but computed dedup-first: rolling-key
-    grouping, one murmur per distinct window, gather back. The drop-in fast
-    path for every consumer that uses h1 as the shingle identity."""
+def _group_windows_murmur(
+    batch: _ShingleBatch,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Group byte-identical windows by their 128-bit murmur seed-0 digest
+    (compute-dense, cache-friendly: overlapping windows re-read hot buffer
+    lines). Returns (tok_ids, rep_rows, h1rep) — h1 per representative comes
+    free, so exclusion needs no extra hash pass."""
+    h1, h2 = _window_hashes_seed0(batch)
+    order = np.lexsort((h2, h1))
+    h1s, h2s = h1[order], h2[order]
+    new = np.empty(len(order), dtype=bool)
+    new[0] = True
+    new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+    tok_ids = np.empty(len(order), dtype=np.int64)
+    tok_ids[order] = np.cumsum(new) - 1
+    rep_rows = order[new]
+    return tok_ids, rep_rows, h1.view(np.int64)[rep_rows]
+
+
+def window_h1_seed0(batch: _ShingleBatch, group: str = "murmur") -> np.ndarray:
+    """Per-window murmur h1 (seed 0), the public shingle identity.
+
+    ``group='murmur'`` (default) hashes every window directly — the
+    parallel-safe path on bandwidth-saturated nodes (this sandbox's DRAM
+    serializes ~6-8 cores; measured at 16-way concurrency the direct pass
+    beats rolling-key dedup despite doing more arithmetic).
+    ``group='rolling'`` dedups windows with cheap polynomial keys first and
+    murmurs only distinct windows — 4-10x faster single-threaded or on
+    bandwidth-rich executors when batches dedup heavily."""
     if len(batch.starts) == 0:
         return np.empty(0, dtype=np.int64)
-    tok_ids, rep_rows = _window_dedup(batch)
-    h1rep = _rep_seed_hash(batch, rep_rows, _seed_longs(0, 1))[:, 0]
-    return h1rep[tok_ids]
+    if group == "rolling":
+        tok_ids, rep_rows = _window_dedup(batch)
+        h1rep = _rep_seed_hash(batch, rep_rows, _seed_longs(0, 1))[:, 0]
+        return h1rep[tok_ids]
+    return _window_hashes_seed0(batch)[0].view(np.int64)
 
 
 def minhash_mins_char_shingle(
@@ -586,13 +617,21 @@ def minhash_mins_char_shingle(
     size: int = 128,
     token_chunk: int = 1 << 12,
     exclude_sorted: np.ndarray | None = None,
+    group: str = "murmur",
 ) -> np.ndarray:
     """Fast path for char-shingle MinHash: shingles are sliding windows of k
     UTF-16 code units over whitespace-normalized text, never materialized as
-    Python strings. Batch dedup keys on the 128-bit murmur3 digest (seed 0)
-    of each window via lexsort (collision odds ~n^2/2^129 — negligible; the
-    string path remains the exactness oracle). Semantics match
-    ``tokenize.char_shingles`` for BMP text (code units == code points).
+    Python strings. Windows are grouped batch-wide so the 128-seed fold runs
+    once per DISTINCT shingle; repeated (doc, shingle) pairs collapse before
+    the min-reduce. Semantics match ``tokenize.char_shingles`` for BMP text
+    (code units == code points); the string path remains the exactness
+    oracle (collision odds ~n^2/2^129 for murmur grouping, ~n^2/2^128 for
+    rolling keys).
+
+    ``group``: window-grouping scheme — see ``window_h1_seed0``. 'murmur'
+    (default) is parallel-safe on bandwidth-saturated nodes; 'rolling' is
+    4-10x faster single-threaded on dedup-heavy corpora. Output values are
+    identical either way (pytest-pinned).
 
     ``exclude_sorted``: optional SORTED int64 array of boilerplate shingle
     hashes (h1 lane, seed 0) to drop before minima — the document-frequency
@@ -603,16 +642,24 @@ def minhash_mins_char_shingle(
     batch = _ShingleBatch(texts, k)
     if len(batch.starts) == 0:
         return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
-    tok_ids, rep_rows = _window_dedup(batch)
+    if group == "rolling":
+        tok_ids, rep_rows = _window_dedup(batch)
+        h1rep = None
+    else:
+        tok_ids, rep_rows, h1rep = _group_windows_murmur(batch)
     seeds = _seed_longs(seed, size)
     uhash = _rep_seed_hash(batch, rep_rows, seeds, token_chunk)
     if exclude_sorted is not None and len(exclude_sorted):
         # exclusion identity is murmur h1 seed 0 (what common_shingles
-        # publishes); when seed==0 it is already column 0 of the fold
-        if seed == 0:
-            h1rep = uhash[:, 0]
-        else:
-            h1rep = _rep_seed_hash(batch, rep_rows, _seed_longs(0, 1), token_chunk)[:, 0]
+        # publishes); murmur grouping yields it for free, and when seed==0
+        # it is also column 0 of the fold
+        if h1rep is None:
+            if seed == 0:
+                h1rep = uhash[:, 0]
+            else:
+                h1rep = _rep_seed_hash(
+                    batch, rep_rows, _seed_longs(0, 1), token_chunk
+                )[:, 0]
         drop = _in_sorted(h1rep, exclude_sorted)
         if drop.any():
             # LONG_MAX rows are no-ops under min; a doc whose every window
@@ -752,22 +799,37 @@ def oph_mins_char_shingle(
     size: int = 128,
     seed: int = 0,
     exclude_sorted: np.ndarray | None = None,
+    group: str = "direct",
 ) -> np.ndarray:
-    """OPH fast path for char shingles: each DISTINCT window in the batch is
-    murmur-hashed once (h1 lane, seed 0; rolling-key dedup groups duplicates
-    first), minima via one (doc, bin) segmented pass — cost is
-    O(total_shingles) sort + O(unique_shingles) hash, not
-    O(unique_shingles x size). This is the intended kernel at 100 TB."""
+    """OPH fast path for char shingles: windows hashed once (h1 lane, seed 0),
+    minima via one (doc, bin) segmented pass — cost is O(total_shingles), not
+    O(unique_shingles x size). This is the intended kernel at 100 TB.
+
+    ``group='rolling'`` dedups windows first and murmurs only distinct ones
+    (2-3x faster single-threaded on dedup-heavy corpora; the direct default
+    scales better under saturated memory bandwidth — same tradeoff as
+    ``window_h1_seed0``). Values identical either way."""
     n_docs = len(texts)
     batch = _ShingleBatch(texts, k)
     if len(batch.starts) == 0:
         return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
-    tok_ids, rep_rows = _window_dedup(batch)
-    h1rep = _rep_seed_hash(batch, rep_rows, _seed_longs(0, 1))[:, 0]
-    h1 = h1rep[tok_ids]
+    if group == "rolling":
+        tok_ids, rep_rows = _window_dedup(batch)
+        h1rep = _rep_seed_hash(batch, rep_rows, _seed_longs(0, 1))[:, 0]
+        h1 = h1rep[tok_ids]
+        if exclude_sorted is not None and len(exclude_sorted):
+            keep = ~_in_sorted(h1rep, exclude_sorted)[tok_ids]
+        else:
+            keep = None
+    else:
+        h1 = _window_hashes_seed0(batch)[0].view(np.int64)
+        keep = (
+            ~_in_sorted(h1, exclude_sorted)
+            if exclude_sorted is not None and len(exclude_sorted)
+            else None
+        )
     doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), batch.counts)
-    if exclude_sorted is not None and len(exclude_sorted):
-        keep = ~_in_sorted(h1rep, exclude_sorted)[tok_ids]
+    if keep is not None:
         h1, doc_ids = h1[keep], doc_ids[keep]
     return _oph_from_pairs(h1, doc_ids, n_docs, size, seed)
 

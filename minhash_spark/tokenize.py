@@ -68,9 +68,85 @@ def _make_stop(stopwords=("a", "an", "and", "are", "as", "at", "be", "but",
     return lambda tokens: [t for t in tokens if t not in stop]
 
 
+def _make_asciifold():
+    """Strip combining marks after NFKD decomposition (Lucene
+    ``asciifolding``'s common case: café -> cafe); non-decomposable
+    non-ASCII (CJK etc.) passes through unchanged."""
+    import unicodedata
+
+    def fold(tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            if t.isascii():
+                out.append(t)
+            else:
+                out.append(
+                    "".join(
+                        c
+                        for c in unicodedata.normalize("NFKD", t)
+                        if not unicodedata.combining(c)
+                    )
+                )
+        return out
+
+    return fold
+
+
+def _make_length(min: int = 1, max: int = 255):
+    return lambda tokens: [t for t in tokens if min <= len(t) <= max]
+
+
+def _make_truncate(length: int = 10):
+    return lambda tokens: [t[:length] for t in tokens]
+
+
 TOKEN_FILTERS = {
     "lowercase": lambda **kw: _lowercase,
     "stop": lambda stopwords=None, **kw: (_make_stop(stopwords) if stopwords else _make_stop()),
+    "asciifolding": lambda **kw: _make_asciifold(),
+    "length": lambda min=1, max=255, **kw: _make_length(min, max),
+    "truncate": lambda length=10, **kw: _make_truncate(length),
+}
+
+
+# char filters (pre-tokenization text transforms — the analyzer chain's
+# first stage; the reference accepts any ES analyzer whose char_filter list
+# includes these, MinHashFieldMapper.java:143-152)
+_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def _make_html_strip():
+    return lambda text: _TAG_RE.sub(" ", text)
+
+
+def _make_mapping(mappings: dict[str, str] | list[str]):
+    """ES ``mapping`` char filter: literal from=>to replacements, applied
+    longest-from first (same greedy behavior as Lucene's NormalizeCharMap)."""
+    if isinstance(mappings, dict):
+        pairs = list(mappings.items())
+    else:  # ES syntax list: ["from=>to", ...]
+        pairs = [tuple(m.split("=>", 1)) for m in mappings]
+    pairs.sort(key=lambda p: -len(p[0]))
+    pat = re.compile("|".join(re.escape(f) for f, _ in pairs))
+    table = dict(pairs)
+
+    def apply(text: str) -> str:
+        return pat.sub(lambda m: table[m.group(0)], text)
+
+    return apply
+
+
+def _make_pattern_replace(pattern: str, replacement: str = ""):
+    rx = re.compile(pattern)
+    return lambda text: rx.sub(replacement, text)
+
+
+CHAR_FILTERS = {
+    "html_strip": lambda **kw: _make_html_strip(),
+    "mapping": lambda mappings=(), **kw: _make_mapping(mappings),
+    "pattern_replace": lambda pattern="", replacement="", **kw: _make_pattern_replace(
+        pattern, replacement
+    ),
 }
 
 
@@ -103,31 +179,42 @@ TOKENIZERS: dict[str, Callable[..., list[str]]] = {
 def make_tokenizer(name: str, **params) -> Callable[[str], list[str]]:
     """Build a tokenizer, optionally wrapped in an analyzer chain.
 
-    ``params['filters']``: ordered token-filter chain, each either a name in
-    TOKEN_FILTERS or a (name, kwargs) pair — the Spark analogue of the
-    reference's named analyzer resolution (tokenizer + filters,
-    MinHashFieldMapper.java:143-152). Filters participate in config_hash via
-    tokenizer_params, so changing a chain invalidates checkpoints."""
+    ``params['char_filters']``: ordered pre-tokenization text transforms
+    (CHAR_FILTERS); ``params['filters']``: ordered token-filter chain
+    (TOKEN_FILTERS). Each entry is a name or a (name, kwargs) pair — the
+    Spark analogue of the reference's named analyzer resolution
+    (char_filter + tokenizer + filter, MinHashFieldMapper.java:143-152).
+    Both chains participate in config_hash via tokenizer_params, so changing
+    a chain invalidates checkpoints."""
+
+    def resolve(specs, registry):
+        built = []
+        for spec in specs or ():
+            if isinstance(spec, str):
+                fname, kw = spec, {}
+            else:
+                fname, kw = spec[0], dict(spec[1])
+            built.append(registry[fname](**kw))
+        return built
+
     params = dict(params)
     filter_specs = params.pop("filters", None)
+    char_specs = params.pop("char_filters", None)
     fn = TOKENIZERS[name]
     if params:
         base = lambda text: fn(text, **params)  # noqa: E731
     else:
         base = fn
-    if not filter_specs:
+    if not filter_specs and not char_specs:
         return base
-    chain = []
-    for spec in filter_specs:
-        if isinstance(spec, str):
-            fname, kw = spec, {}
-        else:
-            fname, kw = spec[0], dict(spec[1])
-        chain.append(TOKEN_FILTERS[fname](**kw))
+    cchain = resolve(char_specs, CHAR_FILTERS)
+    tchain = resolve(filter_specs, TOKEN_FILTERS)
 
     def analyze(text: str) -> list[str]:
+        for cf in cchain:
+            text = cf(text)
         toks = base(text)
-        for filt in chain:
+        for filt in tchain:
             toks = filt(toks)
         return toks
 

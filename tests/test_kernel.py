@@ -163,6 +163,50 @@ def test_standard_tokenizer_uax29_cases():
     assert an2("the fox runs") == ["the", "runs"]
 
 
+def test_analyzer_chain_char_and_token_filters():
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.tokenize import make_tokenizer
+
+    # char filters run before tokenization, in declaration order
+    an = make_tokenizer(
+        "standard",
+        char_filters=["html_strip"],
+        filters=["lowercase"],
+    )
+    assert an("<p>Hello <b>World</b></p>") == ["hello", "world"]
+    an = make_tokenizer(
+        "standard",
+        char_filters=[("mapping", {"mappings": ["C++=>cpp", "&=>and"]})],
+    )
+    assert an("C++ & Java") == ["cpp", "and", "Java"]
+    an = make_tokenizer(
+        "standard",
+        char_filters=[("pattern_replace", {"pattern": r"//[^\n]*", "replacement": " "})],
+    )
+    assert an("code(); // strip this comment\nmore()") == ["code", "more"]
+    # token filters: asciifolding, length, truncate
+    an = make_tokenizer("standard", filters=["asciifolding", "lowercase"])
+    assert an("Café naïve 東京") == ["cafe", "naive", "東", "京"]
+    an = make_tokenizer("standard", filters=[("length", {"min": 3})])
+    assert an("a bb ccc dddd") == ["ccc", "dddd"]
+    an = make_tokenizer("standard", filters=[("truncate", {"length": 4})])
+    assert an("abcdefgh xy") == ["abcd", "xy"]
+    # chains validate at config build and participate in config_hash
+    cfg = MinHashConfig(
+        tokenizer="standard",
+        tokenizer_params={"char_filters": ["html_strip"], "filters": ["lowercase"]},
+    )
+    cfg.validate()
+    base = MinHashConfig(tokenizer="standard")
+    assert cfg.config_hash() != base.config_hash()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown char filter"):
+        MinHashConfig(
+            tokenizer="standard", tokenizer_params={"char_filters": ["nope"]}
+        ).validate()
+
+
 def test_char_shingle_fast_path_equals_string_path():
     texts = [
         "def foo():  return 1\n\nclass Bar: pass",
@@ -254,3 +298,41 @@ def test_suggest_bands_properties():
         suggest_bands(128, 1.5)
     with pytest.raises(ValueError):
         suggest_bands(1, 0.01)  # unreachable recall
+
+
+def test_grouping_schemes_value_identical():
+    """'murmur' (parallel-safe default) and 'rolling' (serial-fast) window
+    grouping must produce byte-identical minima, with and without the
+    boilerplate exclusion filter; OPH likewise for direct vs rolling."""
+    import numpy as np
+
+    from minhash_spark import kernel
+
+    texts = [
+        "def foo():  return 1\n\nclass Bar: pass",
+        "def foo():  return 1\n\nclass Bar: pass",
+        "completely different content here with words",
+        "short",
+        "",
+        "ab",
+        "é" * 12 + " mixed ascii tail",
+    ]
+    a = kernel.minhash_mins_char_shingle(texts, k=9, seed=7, size=64, group="murmur")
+    b = kernel.minhash_mins_char_shingle(texts, k=9, seed=7, size=64, group="rolling")
+    assert np.array_equal(a, b)
+    batch = kernel._ShingleBatch(texts, 9)
+    h = kernel.window_h1_seed0(batch)
+    assert np.array_equal(h, kernel.window_h1_seed0(batch, group="rolling"))
+    hot = np.sort(np.unique(h))[:5]
+    a = kernel.minhash_mins_char_shingle(
+        texts, k=9, seed=0, size=64, exclude_sorted=hot, group="murmur"
+    )
+    b = kernel.minhash_mins_char_shingle(
+        texts, k=9, seed=0, size=64, exclude_sorted=hot, group="rolling"
+    )
+    assert np.array_equal(a, b)
+    a = kernel.oph_mins_char_shingle(texts, k=9, size=64, seed=3, exclude_sorted=hot)
+    b = kernel.oph_mins_char_shingle(
+        texts, k=9, size=64, seed=3, exclude_sorted=hot, group="rolling"
+    )
+    assert np.array_equal(a, b)

@@ -150,6 +150,17 @@ local[2] = [{spread2}] s, local[8] = [{spread8}] s).
 N=2 -> 4N=8 efficiency = {eff28:.3f} (8-core leg at the sandbox knee).
 8 -> 32 efficiency = {eff_sat:.3f} (sandbox DRAM-saturated; see above).
 
+**Window-grouping scheme note:** the kernel offers two batch window-grouping
+schemes (``kernel.window_h1_seed0``): ``murmur`` (default — hash every
+window; compute-dense, cache-friendly, scales under saturated DRAM) and
+``rolling`` (polynomial-key dedup first, murmur only on distinct windows —
+measured 4.6x faster kseed / 2.5x faster OPH single-threaded on the planted
+corpus, but bandwidth-bound: at 16-way concurrency on this VM it LOSES to
+the direct pass, 4.10 vs 3.65 s/batch, and regressed the 32-core signatures
+stage 34 -> 62 s when it was briefly the default). Output minima are
+byte-identical either way (pytest-pinned); deployments on bandwidth-rich
+executors can flip the knob per batch size.
+
 ## Correctness at this scale
 
 rows_out = {r32['rows_out']}, clusters = {r32['clusters']} (ground truth for
