@@ -81,7 +81,13 @@ def verify_pairs(
     # survivors are few; AQE would coalesce them onto 1-2 tasks and starve
     # the CPU-bound exact-Jaccard UDF, so ONE repartition spreads the joined
     # pairs right before scoring (an extra pre-join repartition + barrier
-    # checkpoint here measured as pure fixed cost).
+    # checkpoint here measured as pure fixed cost). Partitioning BY a_id and
+    # sorting within partitions co-locates every pair that shares a left
+    # text into the same Arrow batches, so the verify UDF's batch-wide
+    # distinct-text dedup hashes each such text once instead of once per
+    # batch it was scattered into (a star-bucket center or m-member cluster
+    # doc appears in up to m-1 pairs). Skew is bounded: star capping keeps
+    # per-a_id multiplicity at cluster size, not bucket size.
     par = pairs.sparkSession.sparkContext.defaultParallelism
     with_content = (
         survivors.join(
@@ -92,7 +98,8 @@ def verify_pairs(
             slim.select(F.col("rep_id").alias("b_id"), F.col("content").alias("content_b")),
             "b_id",
         )
-        .repartition(par)
+        .repartition(par, "a_id")
+        .sortWithinPartitions("a_id")
     )
     scored = with_content.withColumn(
         "s", sim(F.col("content_a"), F.col("content_b"))
