@@ -34,10 +34,8 @@ SIG_STRUCT_TYPE = T.StructType(
 )
 
 
-# cap the kernel working set per sub-batch: the k-seed scheme materializes
-# (unique shingles x size) int64, so bound total input chars per kernel call
-# (~150k chars -> <=150k windows -> <=150 MB at size=128) to stay inside the
-# reused worker heap even with 32 concurrent workers per node.
+# cap the kernel working set per sub-batch (guards pathological inputs like
+# a handful of 100 MB files landing in one Arrow batch).
 #
 # Sizing: windows scale ~1:1 with chars, and the char-shingle kernel's peak
 # temporaries are a few 8-byte arrays over windows (~300-500 MB/worker at

@@ -336,3 +336,35 @@ def test_grouping_schemes_value_identical():
         texts, k=9, size=64, seed=3, exclude_sorted=hot, group="rolling"
     )
     assert np.array_equal(a, b)
+
+
+def test_rolling_key_primitives():
+    """_pow_array matches python pow; _roll_base matches direct polynomial
+    evaluation; distinct windows get distinct keys (no aliasing across
+    window lengths or leading NULs)."""
+    import numpy as np
+
+    from minhash_spark import kernel
+
+    for n in (0, 1, 5, 2048, 2049, 5000):
+        arr = kernel._pow_array(kernel._RB1, n)
+        assert len(arr) == n
+        for j in (0, 1, 2, n - 1, n // 2):
+            if 0 <= j < n:
+                assert int(arr[j]) == pow(int(kernel._RB1), j, 1 << 64)
+    # direct polynomial check on a tiny buffer
+    u = np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=np.uint64)
+    starts = np.array([0, 2, 4], dtype=np.int64)
+    ends = np.array([3, 5, 8], dtype=np.int64)
+    got = kernel._roll_base(u, starts, ends, kernel._RB1, kernel._RB1_INV)
+    m = 1 << 64
+    b = int(kernel._RB1)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        h = 0
+        for j in range(s, e):
+            h = (h * b + int(u[j])) % m
+        assert int(got[i]) == h
+    # length mixing: "x" (1 unit) vs "\0x" (leading NUL) must not collide
+    batch = kernel._ShingleBatch(["x", "\0x"], 9)
+    r1, _ = kernel._window_roll_keys(batch)
+    assert r1[0] != r1[1]
