@@ -29,6 +29,14 @@ def add_analyzer_args(p: argparse.ArgumentParser, tokenizer_default: str = "char
     p.add_argument("--word-n", type=int, default=3)
     p.add_argument("--num-bands", type=int, default=21)
     p.add_argument("--rows-per-band", type=int, default=6)
+    p.add_argument(
+        "--kernel-group",
+        default="murmur",
+        choices=["murmur", "rolling"],
+        help="char-shingle window grouping: murmur (parallel-safe default) "
+        "or rolling (dedup-first, faster serially / on bandwidth-rich "
+        "executors); signature bytes identical either way",
+    )
 
 
 def config_from_args(args: argparse.Namespace, **overrides) -> MinHashConfig:
@@ -49,5 +57,6 @@ def config_from_args(args: argparse.Namespace, **overrides) -> MinHashConfig:
         tokenizer_params=tok_params,
         num_bands=args.num_bands,
         rows_per_band=args.rows_per_band,
+        kernel_group=getattr(args, "kernel_group", "murmur"),
         **overrides,
     )

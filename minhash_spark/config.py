@@ -69,12 +69,26 @@ class MinHashConfig:
     # null handling (MinHashFieldMapper.java:89-90,260-269)
     null_value: str | None = None
 
+    # physical-only knob: batch window-grouping scheme inside the char-shingle
+    # kernel ('murmur' = direct hash of every window, parallel-safe on
+    # bandwidth-saturated nodes; 'rolling' = polynomial-key dedup first,
+    # 4-10x faster serially / on bandwidth-rich executors when batches dedup
+    # heavily — see BENCH/BASELINE.md). Signature bytes are identical either
+    # way (pytest-pinned), so it is excluded from config_hash and never
+    # invalidates checkpoints.
+    kernel_group: str = "murmur"
+
+    _PHYSICAL_ONLY = ("kernel_group",)
+
     @property
     def sig_width(self) -> int:
         return (self.size * self.bit + 7) // 8
 
     def config_hash(self) -> str:
-        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        d = asdict(self)
+        for k in self._PHYSICAL_ONLY:
+            d.pop(k, None)
+        payload = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
     # fields that determine the signature BYTES and band keys — i.e. what a
@@ -122,6 +136,8 @@ class MinHashConfig:
             raise ValueError("bit must be in 1..16")
         if self.scheme not in ("kseed", "oph"):
             raise ValueError("scheme must be kseed or oph")
+        if self.kernel_group not in ("murmur", "rolling"):
+            raise ValueError("kernel_group must be murmur or rolling")
         return self
 
 

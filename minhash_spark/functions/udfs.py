@@ -69,14 +69,18 @@ def _compute_mins(
     oph = cfg.scheme == "oph"
     if cfg.tokenizer == "char_shingle":
         k = cfg.tokenizer_params.get("k", 9)
+        grp = getattr(cfg, "kernel_group", "murmur")
         for lo, hi in _slices_by_chars(str_list, _MAX_CHARS_PER_KERNEL_CALL):
             if oph:
                 out[lo:hi] = kernel.oph_mins_char_shingle(
-                    str_list[lo:hi], k=k, size=cfg.size, seed=cfg.seed, exclude_sorted=exclude_sorted
+                    str_list[lo:hi], k=k, size=cfg.size, seed=cfg.seed,
+                    exclude_sorted=exclude_sorted,
+                    group="rolling" if grp == "rolling" else "direct",
                 )
             else:
                 out[lo:hi] = kernel.minhash_mins_char_shingle(
-                    str_list[lo:hi], k=k, seed=cfg.seed, size=cfg.size, exclude_sorted=exclude_sorted
+                    str_list[lo:hi], k=k, seed=cfg.seed, size=cfg.size,
+                    exclude_sorted=exclude_sorted, group=grp,
                 )
     else:
         tok = make_tokenizer(cfg.tokenizer, **cfg.tokenizer_params)

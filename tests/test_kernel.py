@@ -368,3 +368,20 @@ def test_rolling_key_primitives():
     batch = kernel._ShingleBatch(["x", "\0x"], 9)
     r1, _ = kernel._window_roll_keys(batch)
     assert r1[0] != r1[1]
+
+
+def test_kernel_group_is_physical_only():
+    """Flipping the window-grouping knob must not invalidate checkpoints
+    (config_hash) or signature identity; invalid values fail at build."""
+    from minhash_spark.config import MinHashConfig
+
+    a = MinHashConfig(tokenizer="char_shingle", tokenizer_params={"k": 9})
+    b = MinHashConfig(
+        tokenizer="char_shingle", tokenizer_params={"k": 9}, kernel_group="rolling"
+    )
+    assert a.config_hash() == b.config_hash()
+    assert a.signature_hash() == b.signature_hash()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kernel_group"):
+        MinHashConfig(kernel_group="nope").validate()
