@@ -138,6 +138,20 @@ class MinHashConfig:
             raise ValueError("scheme must be kseed or oph")
         if self.kernel_group not in ("murmur", "rolling"):
             raise ValueError("kernel_group must be murmur or rolling")
+        if self.tokenizer == "char_shingle" and self.tokenizer_params.get("filters"):
+            # token filters act on word tokens; the char-shingle kernel path
+            # never materializes shingle strings, so silently ignoring them
+            # would diverge from the string path — reject instead
+            raise ValueError(
+                "token 'filters' are not supported with tokenizer='char_shingle'; "
+                "use 'char_filters' (pre-shingling text transforms)"
+            )
+        # build the full analyzer chain driver-side: filter KWARGS (e.g. a
+        # 'mapping' spec with no mappings, or entries without '=>') must fail
+        # at config build, not as an opaque error inside an executor UDF batch
+        from minhash_spark.tokenize import make_tokenizer
+
+        make_tokenizer(self.tokenizer, **self.tokenizer_params)
         return self
 
 

@@ -59,6 +59,32 @@ def _slices_by_chars(str_list: list[str], max_chars: int):
         yield lo, len(str_list)
 
 
+def _apply_char_filters(str_list: list[str], cfg: MinHashConfig) -> list[str]:
+    """Pre-tokenization char-filter chain for the char-shingle KERNEL path.
+
+    The string path applies char filters inside make_tokenizer's analyze();
+    the kernel fast path never materializes shingle strings, so the filters
+    must run on the raw text before _ShingleBatch — otherwise a configured
+    ``html_strip``/``mapping`` would be silently ignored while still being
+    folded into config_hash."""
+    specs = cfg.tokenizer_params.get("char_filters")
+    if not specs:
+        return str_list
+    from minhash_spark.tokenize import CHAR_FILTERS
+
+    chain = []
+    for spec in specs:
+        if isinstance(spec, str):
+            fname, kw = spec, {}
+        else:
+            fname, kw = spec[0], dict(spec[1])
+        chain.append(CHAR_FILTERS[fname](**kw))
+    out = str_list
+    for cf in chain:
+        out = [cf(t) for t in out]
+    return out
+
+
 def _compute_mins(
     texts: pd.Series, cfg: MinHashConfig, exclude_sorted: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -68,6 +94,7 @@ def _compute_mins(
     out = np.empty((len(str_list), cfg.size), dtype=np.int64)
     oph = cfg.scheme == "oph"
     if cfg.tokenizer == "char_shingle":
+        str_list = _apply_char_filters(str_list, cfg)
         k = cfg.tokenizer_params.get("k", 9)
         grp = getattr(cfg, "kernel_group", "murmur")
         for lo, hi in _slices_by_chars(str_list, _MAX_CHARS_PER_KERNEL_CALL):
@@ -235,15 +262,16 @@ def distinct_window_hashes_udf(cfg: MinHashConfig):
     """content -> array<long> of the doc's DISTINCT shingle hashes (h1, seed 0).
     Used by the document-frequency pass of the boilerplate-shingle filter."""
     k = cfg.tokenizer_params.get("k", 9)
+    grp = getattr(cfg, "kernel_group", "murmur")
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
-        str_list = texts.fillna("").astype(str).tolist()
+        str_list = _apply_char_filters(texts.fillna("").astype(str).tolist(), cfg)
         batch = kernel._ShingleBatch(str_list, k)
         n = len(str_list)
         if len(batch.starts) == 0:
             return pd.Series([[] for _ in range(n)])
-        h = kernel.window_h1_seed0(batch)
+        h = kernel.window_h1_seed0(batch, group=grp)
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(batch.counts, out=offs[1:])
         return pd.Series([np.unique(h[offs[d] : offs[d + 1]]) for d in range(n)])
@@ -288,11 +316,11 @@ def _unique_id_sets(
     uniq: list[np.ndarray] = []
     if cfg.tokenizer == "char_shingle":
         k = cfg.tokenizer_params.get("k", 9)
-        batch = kernel._ShingleBatch(uniq_texts, k)
+        batch = kernel._ShingleBatch(_apply_char_filters(uniq_texts, cfg), k)
         offs = np.zeros(len(uniq_texts) + 1, dtype=np.int64)
         np.cumsum(batch.counts, out=offs[1:])
         h = (
-            kernel.window_h1_seed0(batch)
+            kernel.window_h1_seed0(batch, group=getattr(cfg, "kernel_group", "murmur"))
             if len(batch.starts)
             else np.empty(0, dtype=np.int64)
         )

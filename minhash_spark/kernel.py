@@ -525,7 +525,7 @@ def _window_roll_keys(batch: _ShingleBatch) -> tuple[np.ndarray, np.ndarray]:
     windows so the murmur passes run once per DISTINCT window (boilerplate-
     heavy corpora dedup 10-100x per batch). Random collision odds ~n^2/2^128;
     the string path stays the exactness oracle in tests."""
-    u = batch.buf.astype(np.uint64)
+    u = batch.buf_u64()  # shared with the murmur premix's cached cast
     lens = (batch.bytelens() // 2).astype(np.uint64)
     starts = batch.starts
     ends = starts + lens.astype(np.int64)
@@ -647,26 +647,39 @@ def minhash_mins_char_shingle(
         h1rep = None
     else:
         tok_ids, rep_rows, h1rep = _group_windows_murmur(batch)
-    seeds = _seed_longs(seed, size)
-    uhash = _rep_seed_hash(batch, rep_rows, seeds, token_chunk)
+    counts = batch.counts
     if exclude_sorted is not None and len(exclude_sorted):
         # exclusion identity is murmur h1 seed 0 (what common_shingles
-        # publishes); murmur grouping yields it for free, and when seed==0
-        # it is also column 0 of the fold
+        # publishes); murmur grouping yields it for free. Excluded windows
+        # are dropped BEFORE the per-seed fold — boilerplate-heavy batches
+        # (the filter's whole target) would otherwise pay the full
+        # (excluded x size) fold only to overwrite the rows. A doc whose
+        # every window is excluded ends with count 0 -> all-LONG_MAX row
+        # (empty-stream semantics, identical to the min over no rows).
         if h1rep is None:
-            if seed == 0:
-                h1rep = uhash[:, 0]
-            else:
-                h1rep = _rep_seed_hash(
-                    batch, rep_rows, _seed_longs(0, 1), token_chunk
-                )[:, 0]
+            h1rep = _rep_seed_hash(batch, rep_rows, _seed_longs(0, 1), token_chunk)[:, 0]
         drop = _in_sorted(h1rep, exclude_sorted)
         if drop.any():
-            # LONG_MAX rows are no-ops under min; a doc whose every window
-            # is excluded stays all-LONG_MAX (empty-stream semantics), same
-            # as dropping the windows outright
-            uhash[np.flatnonzero(drop)] = LONG_MAX
-    counts = batch.counts
+            keep = ~drop
+            pair_keep = keep[tok_ids]
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            remap = np.cumsum(keep, dtype=np.int64) - 1
+            tok_ids = remap[tok_ids[pair_keep]]
+            counts = np.bincount(doc_of[pair_keep], minlength=n_docs)
+            rep_rows = rep_rows[keep]
+            if len(rep_rows) == 0:
+                return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
+    seeds = _seed_longs(seed, size)
+    if len(rep_rows) > _UNIQ_FOLD_CHUNK:
+        # low-dedup batch (diverse content): the dense (n_uniq x size) fold
+        # output would be unbounded — 8M distinct windows x 128 seeds x 8 B
+        # is ~8 GB per worker. Fold distinct-window CHUNKS with a running
+        # per-doc min-reduce instead; memory stays O(chunk x size) while the
+        # batch-wide window dedup is preserved.
+        return _chunked_fold_min(
+            batch, rep_rows, tok_ids, counts, seeds, n_docs, size, token_chunk
+        )
+    uhash = _rep_seed_hash(batch, rep_rows, seeds, token_chunk)
     n_uniq = uhash.shape[0]
     if n_uniq * 4 < len(tok_ids):
         # dedup-heavy batch: collapse repeated (doc, shingle) pairs before the
@@ -681,6 +694,54 @@ def minhash_mins_char_shingle(
         tok_ids = sel - doc2 * n_uniq
         counts = np.bincount(doc2, minlength=n_docs)
     return _segment_min(uhash, tok_ids, counts)
+
+
+# bound on the per-seed fold's dense working set: chunk x size x 8 B
+# (134 MB at size=128) regardless of how little a batch dedups. Above
+# 0xFFFF so the common (dedup-heavy) path never pays the chunked loop.
+_UNIQ_FOLD_CHUNK = 1 << 17
+
+
+def _chunked_fold_min(
+    batch: _ShingleBatch,
+    rep_rows: np.ndarray,
+    tok_ids: np.ndarray,
+    counts: np.ndarray,
+    seeds: np.ndarray,
+    n_docs: int,
+    size: int,
+    token_chunk: int,
+) -> np.ndarray:
+    """Per-doc minima without materializing the full (n_uniq x size) fold:
+    distinct windows are processed in chunks, each chunk's per-doc segment
+    minima merged into a running (n_docs x size) accumulator (min is
+    associative, so chunked minima equal the global minima exactly)."""
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.argsort(tok_ids, kind="stable")
+    st = tok_ids[order]
+    sd = doc_of[order]
+    mins = np.full((n_docs, size), LONG_MAX, dtype=np.int64)
+    n_uniq = len(rep_rows)
+    for lo in range(0, n_uniq, _UNIQ_FOLD_CHUNK):
+        hi = min(lo + _UNIQ_FOLD_CHUNK, n_uniq)
+        a = int(np.searchsorted(st, lo, "left"))
+        b = int(np.searchsorted(st, hi, "left"))
+        if a == b:
+            continue
+        width = np.int64(hi - lo)
+        # collapse repeated (doc, window) pairs, then group per doc: one
+        # flat sort gives _segment_min its doc-contiguous id layout
+        key = np.sort(sd[a:b] * width + (st[a:b] - lo))
+        new = np.empty(len(key), dtype=bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+        sel = key[new]
+        d2 = sel // width
+        t2 = sel - d2 * width
+        cnt2 = np.bincount(d2, minlength=n_docs)
+        uh = _rep_seed_hash(batch, rep_rows[lo:hi], seeds, token_chunk)
+        np.minimum(mins, _segment_min(uh, t2, cnt2), out=mins)
+    return mins
 
 
 def _premix_windows_u16(

@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 from minhash_spark.config import MinHashConfig
 from minhash_spark.functions.udfs import sig_bitmatch_udf, similarity_udf
 
+# max verify pairs sharing one (a_id, salt) task-group; above this the group
+# is hash-split so a giant star bucket cannot starve the exact-Jaccard stage
+_VERIFY_GROUP_CAP = 1024
+
 
 def verify_pairs(
     pairs: DataFrame,
@@ -85,12 +89,33 @@ def verify_pairs(
     # sorting within partitions co-locates every pair that shares a left
     # text into the same Arrow batches, so the verify UDF's batch-wide
     # distinct-text dedup hashes each such text once instead of once per
-    # batch it was scattered into (a star-bucket center or m-member cluster
-    # doc appears in up to m-1 pairs). Skew is bounded: star capping keeps
-    # per-a_id multiplicity at cluster size, not bucket size.
+    # batch it was scattered into. Per-a_id multiplicity is UNBOUNDED under
+    # star topology (a_id = bucket_min of an oversized bucket pairs with
+    # every member), so groups above _VERIFY_GROUP_CAP pairs are salted by
+    # hash(b_id) into ceil(count/cap) sub-groups: a 100k-pair star spreads
+    # across ~100 tasks instead of starving on one, while typical groups
+    # (cluster-sized, under the cap) keep full co-location. The group-size
+    # aggregation runs over the survivor PAIR set — orders of magnitude
+    # smaller than the corpus — so its cost is negligible next to the
+    # content joins it feeds.
     par = pairs.sparkSession.sparkContext.defaultParallelism
+    a_counts = survivors.groupBy("a_id").agg(F.count("*").alias("_a_cnt"))
+    salted = (
+        survivors.join(a_counts, "a_id")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_a_cnt") > _VERIFY_GROUP_CAP,
+                F.pmod(
+                    F.xxhash64("b_id"),
+                    F.ceil(F.col("_a_cnt") / _VERIFY_GROUP_CAP).cast("long"),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_a_cnt")
+    )
     with_content = (
-        survivors.join(
+        salted.join(
             slim.select(F.col("rep_id").alias("a_id"), F.col("content").alias("content_a")),
             "a_id",
         )
@@ -98,8 +123,9 @@ def verify_pairs(
             slim.select(F.col("rep_id").alias("b_id"), F.col("content").alias("content_b")),
             "b_id",
         )
-        .repartition(par, "a_id")
+        .repartition(par, "a_id", "_salt")
         .sortWithinPartitions("a_id")
+        .drop("_salt")
     )
     scored = with_content.withColumn(
         "s", sim(F.col("content_a"), F.col("content_b"))

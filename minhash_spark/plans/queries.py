@@ -15,6 +15,8 @@ give with P(miss) <= (1-0.8^4)^32 ~ 5e-8 per pair.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +34,10 @@ from minhash_spark.operators import components, lsh, verify
 
 # near-dup config for the documents table: 3-gram word shingles (word salads
 # share too many unigrams; trigrams separate planted dups from noise cleanly)
+# physical-only window-grouping scheme for the query-suite kernel UDFs
+# (fingerprints etc. — values identical either way; see MinHashConfig.kernel_group)
+KERNEL_GROUP = os.environ.get("SPARK_GRAFT_KERNEL_GROUP", "murmur")
+
 DOC_CFG = MinHashConfig(
     seed=0,
     size=128,
@@ -855,7 +861,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         nf = np.zeros(n, dtype=np.int64)
         fx = np.zeros(n, dtype=np.int64)
         if len(batch.starts):
-            h1 = kernel.window_h1_seed0(batch)
+            h1 = kernel.window_h1_seed0(batch, group=KERNEL_GROUP)
             offs = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(batch.counts, out=offs[1:])
             for d in range(n):
@@ -1305,7 +1311,7 @@ def _fingerprint_udf():
         n = len(texts)
         out = [[] for _ in range(n)]
         if len(batch.starts):
-            h1 = kernel.window_h1_seed0(batch)
+            h1 = kernel.window_h1_seed0(batch, group=KERNEL_GROUP)
             offs = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(batch.counts, out=offs[1:])
             for d in range(n):

@@ -125,7 +125,15 @@ def _make_mapping(mappings: dict[str, str] | list[str]):
     if isinstance(mappings, dict):
         pairs = list(mappings.items())
     else:  # ES syntax list: ["from=>to", ...]
+        bad = [m for m in mappings if "=>" not in m]
+        if bad:
+            raise ValueError(f"mapping entries must be 'from=>to': {bad!r}")
         pairs = [tuple(m.split("=>", 1)) for m in mappings]
+    pairs = [p for p in pairs if p[0]]
+    if not pairs:
+        # an empty pattern would match at every position and KeyError on the
+        # first document inside an executor; fail at chain build instead
+        raise ValueError("mapping char filter requires at least one non-empty 'from'")
     pairs.sort(key=lambda p: -len(p[0]))
     pat = re.compile("|".join(re.escape(f) for f, _ in pairs))
     table = dict(pairs)

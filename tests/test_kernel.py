@@ -385,3 +385,103 @@ def test_kernel_group_is_physical_only():
 
     with _pytest.raises(ValueError, match="kernel_group"):
         MinHashConfig(kernel_group="nope").validate()
+
+
+def test_chunked_fold_matches_dense_path(monkeypatch):
+    """Low-dedup batches overflow _UNIQ_FOLD_CHUNK and take the chunked
+    min-reduce; results must equal the dense fold exactly (with and without
+    exclusion, both grouping schemes)."""
+    import numpy as np
+
+    from minhash_spark import kernel
+
+    rng = np.random.default_rng(11)
+    texts = [
+        "".join(chr(int(c)) for c in rng.integers(97, 123, int(rng.integers(0, 300))))
+        for _ in range(120)
+    ]
+    texts += ["", "ab", "shared boilerplate " * 20, "shared boilerplate " * 20]
+    dense = kernel.minhash_mins_char_shingle(texts, k=9, seed=5, size=48)
+    batch = kernel._ShingleBatch(texts, 9)
+    hot = np.sort(np.unique(kernel.window_h1_seed0(batch)))[:200]
+    dense_ex = kernel.minhash_mins_char_shingle(
+        texts, k=9, seed=5, size=48, exclude_sorted=hot
+    )
+    monkeypatch.setattr(kernel, "_UNIQ_FOLD_CHUNK", 257)
+    for group in ("murmur", "rolling"):
+        got = kernel.minhash_mins_char_shingle(texts, k=9, seed=5, size=48, group=group)
+        assert np.array_equal(got, dense), group
+        got = kernel.minhash_mins_char_shingle(
+            texts, k=9, seed=5, size=48, exclude_sorted=hot, group=group
+        )
+        assert np.array_equal(got, dense_ex), group
+
+
+def test_exclusion_dropped_before_fold():
+    """A doc whose every shingle is excluded yields the all-LONG_MAX
+    empty-stream row (pre-fold drop semantics == old post-fold overwrite)."""
+    import numpy as np
+
+    from minhash_spark import kernel
+
+    texts = ["aaaaaaaaaaaa", "unrelated other content"]
+    batch = kernel._ShingleBatch(texts[:1], 9)
+    hot = np.sort(np.unique(kernel.window_h1_seed0(batch)))
+    mins = kernel.minhash_mins_char_shingle(texts, k=9, seed=0, size=32, exclude_sorted=hot)
+    assert (mins[0] == kernel.LONG_MAX).all()
+    assert (mins[1] != kernel.LONG_MAX).any()
+
+
+def test_mapping_char_filter_validation():
+    """Bad 'mapping' specs must fail at config build on the driver, not as a
+    KeyError inside an executor UDF batch."""
+    import pytest
+
+    from minhash_spark.config import MinHashConfig
+
+    with pytest.raises(ValueError, match="mapping"):
+        MinHashConfig(
+            tokenizer="standard", tokenizer_params={"char_filters": ["mapping"]}
+        ).validate()
+    with pytest.raises(ValueError, match="from=>to"):
+        MinHashConfig(
+            tokenizer="standard",
+            tokenizer_params={"char_filters": [("mapping", {"mappings": ["no-arrow"]})]},
+        ).validate()
+    ok = MinHashConfig(
+        tokenizer="standard",
+        tokenizer_params={"char_filters": [("mapping", {"mappings": ["a=>b"]})]},
+    ).validate()
+    assert ok is not None
+    with pytest.raises(ValueError, match="char_shingle"):
+        MinHashConfig(
+            tokenizer="char_shingle", tokenizer_params={"filters": ["lowercase"]}
+        ).validate()
+
+
+def test_char_filters_respected_on_char_shingle_kernel_path():
+    """char_filters configured with tokenizer='char_shingle' must change the
+    computed signatures (parity with the string path, which applies them in
+    make_tokenizer) — not be silently ignored by the kernel fast path."""
+    import pandas as pd
+
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.functions.udfs import _compute_mins
+    from minhash_spark import kernel
+    from minhash_spark.tokenize import make_tokenizer
+
+    texts = pd.Series(["<div>hello world content</div> more text here", "plain text no markup at all"])
+    plain = MinHashConfig(tokenizer="char_shingle", tokenizer_params={"k": 9})
+    strip = MinHashConfig(
+        tokenizer="char_shingle",
+        tokenizer_params={"k": 9, "char_filters": ["html_strip"]},
+    )
+    m_plain, _ = _compute_mins(texts, plain)
+    m_strip, _ = _compute_mins(texts, strip)
+    assert (m_plain[0] != m_strip[0]).any()  # markup doc: filter changes shingles
+    # parity with the string path (filter applied, then shingled)
+    tok = make_tokenizer("char_shingle", k=9, char_filters=["html_strip"])
+    import numpy as np
+
+    exp = kernel.minhash_mins([list(set(tok(texts[0])))], seed=0, size=128)[0]
+    assert np.array_equal(m_strip[0], exp)
