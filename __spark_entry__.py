@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": Q.q_decontaminate,
         "doc_fingerprints": Q.q_doc_fingerprints,
         "fingerprint_matches": Q.q_fingerprint_matches,
+        "passage_dedup": Q.q_passage_dedup,
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
+        "lm_scores": Q.q_lm_scores,
         # event analytics (sessionization + windowed rollups)
         "event_sessions": Q.q_event_sessions,
         "event_windowed_counts": Q.q_event_windowed_counts,
@@ -492,6 +495,73 @@ def oracle_sql() -> dict[str, str]:
             FROM s tr JOIN s ev USING (span)
             WHERE tr.doc_id >= 20 AND ev.doc_id < 20
             GROUP BY 1, 2
+        """,
+        # passage = consecutive 32-token windows of the whitespace token
+        # stream (same trim/split as token_counts); dup iff the passage text
+        # occurs >1 time corpus-wide
+        "passage_dedup": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(0, (len(w) + 31) // 32 - 1),
+                       i -> array_to_string(w[i*32+1 : i*32+32], ' '))) AS chunk
+              FROM t
+            ), g AS (
+              SELECT chunk, count(*) AS gc FROM c GROUP BY chunk
+            )
+            SELECT c.doc_id,
+                   count(*)::BIGINT AS n_chunks,
+                   sum(CASE WHEN g.gc > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+                   sum(CASE WHEN g.gc > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                     AS dup_ratio
+            FROM c JOIN g USING (chunk) GROUP BY c.doc_id
+        """,
+        # tf/df is rational -> exact in doubles on both engines (ln-based idf
+        # would diverge in the last ulp and break the value hash)
+        "tfidf_top_terms": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     tf.tf::DOUBLE / df.df AS score,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf::DOUBLE / df.df DESC,
+                                                 tf.term ASC) AS rank
+              FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, score,
+                   rank::BIGINT AS rank
+            FROM s WHERE rank <= 3
+        """,
+        # integer numerator/denominator sums (order-independent), one final
+        # division -> bit-stable across engines
+        "lm_scores": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+            ), g AS (
+              SELECT term, sum(tf) AS gc FROM tf GROUP BY term
+            ), tot AS (
+              SELECT sum(gc) AS total FROM g
+            )
+            SELECT tf.doc_id,
+                   sum(tf.tf)::BIGINT AS n_tokens,
+                   sum(tf.tf * g.gc)::BIGINT::DOUBLE
+                     / (sum(tf.tf)::BIGINT * (SELECT total FROM tot)) AS lm_score
+            FROM tf JOIN g USING (term)
+            GROUP BY tf.doc_id
         """,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         # the ANN's measured recall is 1.0 on the driver corpora (b=4, L=32

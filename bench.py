@@ -173,6 +173,9 @@ def main():
     timed("decontaminate_docs", lambda: Q.q_decontaminate(spark, sf_dir))
     timed("embedding_ann_ivf", lambda: Q.q_embedding_ann_ivf(spark, sf_dir))
     timed("fingerprint_matches_docs", lambda: Q.q_fingerprint_matches(spark, sf_dir))
+    timed("passage_dedup_docs", lambda: Q.q_passage_dedup(spark, sf_dir))
+    timed("tfidf_top_terms_docs", lambda: Q.q_tfidf_top_terms(spark, sf_dir))
+    timed("lm_scores_docs", lambda: Q.q_lm_scores(spark, sf_dir))
 
     total = round(sum(timings.values()), 2)
     print(

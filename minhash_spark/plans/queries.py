@@ -1358,3 +1358,114 @@ def q_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shared_fp"))
         .where(F.col("n_shared_fp") >= FP_MIN_SHARED)
     )
+
+
+PASSAGE_TOKENS = 32  # tokens per passage chunk (sub-document dedup unit)
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (passage-level) exact dedup — the FineWeb/RefinedWeb-style
+    line/passage pass that document-level dedup misses: chunk each doc into
+    consecutive PASSAGE_TOKENS-token passages, count each passage's global
+    occurrences, report per-doc duplication.
+
+    Scale shape: pure native expressions (split/transform/explode), one
+    groupBy on the passage text (partial-aggregable — combiner-reduced
+    map-side), one equi-join back. At 10^12 docs the passage table is
+    corpus-sized, so the join is a sane shuffle equi-join, never a
+    broadcast; production would group on sha2(passage) to shrink shuffle
+    bytes (grouping on the text here keeps the DuckDB oracle exact)."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(F.col("w"))
+    n_chunks = F.ceil(n / F.lit(float(PASSAGE_TOKENS))).cast("long")
+    idxs = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    chunk_of = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("w"), (i * PASSAGE_TOKENS + 1).cast("int"), PASSAGE_TOKENS), " "
+    )
+    chunks = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(F.transform(idxs, chunk_of)).alias("chunk"))
+    )
+    g = chunks.groupBy("chunk").agg(F.count("*").alias("gc"))
+    return (
+        chunks.join(g, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("gc") > 1).cast("long")).cast("long").alias("n_dup_chunks"),
+            (
+                F.sum((F.col("gc") > 1).cast("long"))
+                / F.count("*")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by tf/df (a rational-valued
+    tf-idf variant: exact in IEEE doubles on both engines, so the oracle
+    compare is bit-stable — ln-based idf would hash-diverge in the last ulp).
+
+    Scale shape: explode -> (doc_id, term) partial-aggregable groupBy ->
+    term-level df from the already-reduced tf table -> equi-join on term ->
+    per-doc window top-k. The window partitions by doc_id (no global sort);
+    df is NOT broadcast — at web scale the vocabulary is huge."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+
+    scored = tf.join(df, "term").withColumn("score", F.col("tf") / F.col("df"))
+    wnd = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality score: average unigram probability of a
+    doc under the corpus's own unigram distribution — low scores flag
+    out-of-distribution / junk docs for a training-data filter.
+
+    Numerics: per-doc numerator sum(tf * global_count) and denominators are
+    exact INTEGER sums (order-independent), divided once at the end —
+    float-summation order can never diverge between Spark and the oracle.
+
+    Scale shape: two partial-aggregable groupBys over (doc_id, term) and
+    (term); the corpus-total is a 1-row aggregate broadcast by crossJoin
+    (one scalar, not data); the term-count join is a shuffle equi-join."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    g = tf.groupBy("term").agg(F.sum("tf").alias("gc"))
+    total = g.agg(F.sum("gc").alias("total"))
+    per_doc = (
+        tf.join(g, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("gc")).cast("long").alias("num"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("num") / (F.col("n_tokens") * F.col("total"))).alias("lm_score"),
+    )
