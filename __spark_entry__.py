@@ -63,6 +63,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": Q.q_passage_dedup,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "lm_scores": Q.q_lm_scores,
+        # relational analytics over the TPC-H-style tables
+        "pricing_summary": Q.q_pricing_summary,
+        "region_revenue": Q.q_region_revenue,
+        "top_revenue_orders": Q.q_top_revenue_orders,
+        "late_shipment_priority": Q.q_late_shipment_priority,
         # event analytics (sessionization + windowed rollups)
         "event_sessions": Q.q_event_sessions,
         "event_windowed_counts": Q.q_event_windowed_counts,
@@ -346,6 +351,65 @@ def oracle_sql() -> dict[str, str]:
                    ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 10 AS bucket
             FROM documents
             WHERE ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 10 = 0
+        """,
+        # TPC-H-shaped relational queries: DECIMAL arithmetic end to end
+        # (exact, order-independent sums on both engines), final cast to
+        # double — float summation order can never flip the value hash.
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty,
+                   sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_base_price,
+                   sum(l_extendedprice::DECIMAL(12,2)
+                       * (1.00 - l_discount::DECIMAL(3,2)))::DOUBLE AS sum_disc_price,
+                   sum(l_extendedprice::DECIMAL(12,2)
+                       * (1.00 - l_discount::DECIMAL(3,2))
+                       * (1.00 + l_tax::DECIMAL(3,2)))::DOUBLE AS sum_charge,
+                   sum(l_quantity::DECIMAL(12,2))::DOUBLE / count(*) AS avg_qty,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "region_revenue": """
+            SELECT n.n_name,
+                   sum(l.l_extendedprice::DECIMAL(12,2)
+                       * (1.00 - l.l_discount::DECIMAL(3,2)))::DOUBLE AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+            JOIN orders o ON o.o_custkey = c.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY n.n_name
+        """,
+        "top_revenue_orders": """
+            SELECT o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority,
+                   sum(l.l_extendedprice::DECIMAL(12,2)
+                       * (1.00 - l.l_discount::DECIMAL(3,2)))::DOUBLE AS revenue
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > TIMESTAMP '1997-06-01'
+            WHERE o.o_orderdate < TIMESTAMP '1997-06-01'
+              AND EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'BUILDING')
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey ASC
+            LIMIT 10
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
         """,
         "event_sessions": """
             WITH e AS (

@@ -1469,3 +1469,114 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("num") / (F.col("n_tokens") * F.col("total"))).alias("lm_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# relational analytics over the TPC-H-style tables (lineitem/orders/customer/
+# nation/region) — the query-engine surface around the dedup core. All money
+# arithmetic is DECIMAL (sums are exact and order-independent, so the DuckDB
+# oracle value-hash is engine-stable); only the FINAL scalar is cast to
+# double.
+# ---------------------------------------------------------------------------
+
+_DEC_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+_DEC_EXT = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DEC_OM = "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+_DEC_OT = "(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-heavy filter + low-cardinality
+    groupBy. The shipdate predicate and the 6-column projection push into the
+    parquet scan (PushedFilters/ReadSchema); the aggregate is fully
+    partial-aggregable (4 groups), so the shuffle carries ~4 rows per task
+    at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr(_DEC_QTY)).cast("double").alias("sum_qty"),
+            F.sum(F.expr(_DEC_EXT)).cast("double").alias("sum_base_price"),
+            F.sum(F.expr(f"{_DEC_EXT} * {_DEC_OM}")).cast("double").alias("sum_disc_price"),
+            F.sum(F.expr(f"{_DEC_EXT} * {_DEC_OM} * {_DEC_OT}")).cast("double").alias("sum_charge"),
+            (F.sum(F.expr(_DEC_QTY)).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: per-nation revenue for ASIA customers'
+    1996-1997 orders. nation+region are BROADCAST (tiny dims); the
+    customer->orders->lineitem chain stays shuffle equi-joins keyed on the
+    fact keys (at 10^12 rows none of those sides is broadcastable). The
+    orderdate filter prunes orders before the big join."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        cust.join(dim, cust.c_nationkey == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.expr(f"{_DEC_EXT} * {_DEC_OM}")).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: top-10 unshipped BUILDING
+    orders by revenue. Deterministic global top-k (revenue desc, orderkey
+    asc tiebreak) — a TakeOrdered physical op, not a full sort."""
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        orders.join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.expr(f"{_DEC_EXT} * {_DEC_OM}")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped semi-join rollup: orders of 1996H1 with at least one
+    lineitem shipped >60 days after the order date, counted per priority.
+    The EXISTS becomes a left-semi join with a non-equi residual — only the
+    order keys shuffle, never the wide rows."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
