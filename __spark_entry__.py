@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": Q.q_repetition_scores,
         "boilerplate_spans": Q.q_boilerplate_spans,
         "decontaminate": Q.q_decontaminate,
+        "cross_corpus_near_dups": Q.q_cross_corpus_near_dups,
         "doc_fingerprints": Q.q_doc_fingerprints,
         "fingerprint_matches": Q.q_fingerprint_matches,
         "passage_dedup": Q.q_passage_dedup,
@@ -626,6 +627,28 @@ def oracle_sql() -> dict[str, str]:
                      / (sum(tf.tf)::BIGINT * (SELECT total FROM tot)) AS lm_score
             FROM tf JOIN g USING (term)
             GROUP BY tf.doc_id
+        """,
+        # cross-corpus near-dups: brute-force eval x train word-3-gram
+        # Jaccard (same tokenizer as near_dup_pairs); LSH candidate recall at
+        # 0.8 is the same S-curve as near_dup_pairs (oracle-matched), so the
+        # exact SQL is the expected output
+        "cross_corpus_near_dups": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(text, '[0-9A-Za-z_]+') AS w FROM documents
+            ), d AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(w)-2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                     END AS toks
+              FROM t
+            )
+            SELECT a.doc_id AS eval_id, b.doc_id AS train_id,
+                   len(list_intersect(a.toks, b.toks))::DOUBLE
+                     / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+            FROM d a JOIN d b ON a.doc_id < 20 AND b.doc_id >= 20
+            WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
         """,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         # the ANN's measured recall is 1.0 on the driver corpora (b=4, L=32

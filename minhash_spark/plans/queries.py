@@ -1580,3 +1580,46 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_orders")
     )
+
+
+def q_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup detection: dedup a NEW slice (eval docs,
+    doc_id < 20) against the EXISTING corpus (train docs) — the 'new crawl
+    vs training set' pass every data pipeline runs before ingestion, and the
+    near-dup analogue of span-level `decontaminate`.
+
+    Scale shape: ONLY new-side band keys equi-join the existing bucket
+    table (never existing x existing), so per-increment cost is
+    O(new x matching buckets); at 10^12 existing rows the bucket table is
+    the persistent bucketed layout (SURVEY X28) and this join satisfies its
+    hash-partitioning from the layout — the same asymmetric join the
+    streaming incremental path uses per micro-batch. Signatures for both
+    sides come from ONE kernel pass over the union (they share the config).
+    """
+    from minhash_spark.functions.udfs import minhash_struct_udf
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_struct_udf(DOC_CFG)
+    sigs = (
+        docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
+        .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
+        .localCheckpoint()
+    )
+    new_b = (
+        sigs.where(F.col("rep_id") < 20)
+        .select(F.col("rep_id").alias("a_id"), F.explode("bands").alias("band_hash"))
+    )
+    old_b = (
+        sigs.where(F.col("rep_id") >= 20)
+        .select(F.col("rep_id").alias("b_id"), F.explode("bands").alias("band_hash"))
+    )
+    cand = (
+        new_b.join(old_b, "band_hash").select("a_id", "b_id").dropDuplicates(["a_id", "b_id"])
+    )
+    contents = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("content"))
+    edges = verify.verify_pairs(cand, sigs, contents, DOC_CFG)
+    return edges.select(
+        F.col("a_id").cast("long").alias("eval_id"),
+        F.col("b_id").cast("long").alias("train_id"),
+        "jaccard",
+    )
