@@ -466,3 +466,68 @@ def test_text_queries_survive_unicode_and_degenerate_docs(spark, tmp_path):
     assert len(sigs) == 7 and all(v is not None for v in sigs.values())
     clean = {r["doc_id"]: r["clean_text"] for r in Q.q_clean_text(spark, p).collect()}
     assert clean[4] == "" and "漢字" in clean[0]
+
+
+def test_passage_dedup_flags_exact_dup_docs(spark):
+    """Exact-duplicate documents must show dup_ratio 1.0 (every passage of
+    each copy occurs at least twice corpus-wide); singleton random docs
+    mostly 0."""
+    dup = {r["doc_id"]: r for r in Q.q_passage_dedup(spark, SF).collect()}
+    exact = Q.q_exact_dup_pairs(spark, SF).collect()
+    for p in exact:
+        assert dup[p["a_id"]]["dup_ratio"] == 1.0
+        assert dup[p["b_id"]]["dup_ratio"] == 1.0
+    assert all(r["n_chunks"] >= 1 for r in dup.values())
+
+
+def test_tfidf_top_terms_shape_and_scores(spark):
+    rows = Q.q_tfidf_top_terms(spark, SF).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        assert 1 <= len(rs) <= 3
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in sorted(rs, key=lambda x: x["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert abs(r["score"] - r["tf"] / r["df"]) < 1e-12
+
+
+def test_lm_scores_bounds_and_dup_equality(spark):
+    rows = {r["doc_id"]: r for r in Q.q_lm_scores(spark, SF).collect()}
+    for r in rows.values():
+        assert 0.0 < r["lm_score"] < 1.0
+        assert r["n_tokens"] >= 1
+    # exact-dup docs have identical token streams -> identical scores
+    for p in Q.q_exact_dup_pairs(spark, SF).collect():
+        assert rows[p["a_id"]]["lm_score"] == rows[p["b_id"]]["lm_score"]
+
+
+def test_cross_corpus_subset_of_near_dups(spark):
+    """Cross-corpus pairs = near_dup_pairs restricted to eval x train (the
+    asymmetric bucket join must lose nothing vs the full self-join)."""
+    full = {
+        (r["a_id"], r["b_id"])
+        for r in Q.q_near_dup_pairs(spark, SF).collect()
+    }
+    cross = {
+        (min(r["eval_id"], r["train_id"]), max(r["eval_id"], r["train_id"]))
+        for r in Q.q_cross_corpus_near_dups(spark, SF).collect()
+    }
+    expected = {(a, b) for a, b in full if (a < 20) != (b < 20)}
+    assert cross == expected
+
+
+def test_relational_queries_sane(spark):
+    ps = Q.q_pricing_summary(spark, SF).collect()
+    assert 1 <= len(ps) <= 6
+    for r in ps:
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+        assert r["sum_charge"] >= r["sum_disc_price"]
+        assert abs(r["avg_qty"] - r["sum_qty"] / r["count_order"]) < 1e-9
+    top = Q.q_top_revenue_orders(spark, SF).collect()
+    assert len(top) <= 10
+    revs = [r["revenue"] for r in top]
+    assert revs == sorted(revs, reverse=True)

@@ -36,6 +36,13 @@ AUDITED = [
     # it here would RUN the corpus UDF and the captured plan would start at a
     # lineage-truncated Scan ExistingRDD — auditing nothing useful
     "event_props_rollup",
+    "passage_dedup",
+    "tfidf_top_terms",
+    "lm_scores",
+    "pricing_summary",
+    "region_revenue",
+    "top_revenue_orders",
+    "late_shipment_priority",
 ]
 
 CHECKS = {
