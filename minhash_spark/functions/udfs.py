@@ -179,7 +179,20 @@ def multi_config_struct_udf(configs: dict[str, MinHashConfig]):
         docs_tokens = [tok(s) for s in str_list]
         uniq, tok_ids, counts = kernel._factorize_tokens(docs_tokens)
         all_seeds = np.concatenate([kernel._seed_longs(c.seed, c.size) for c in cfgs])
-        if uniq:
+        if uniq and len(uniq) > kernel._UNIQ_FOLD_CHUNK:
+            # vocabulary-explosion guard, same as minhash_mins: bound the
+            # dense (uniq x total_seeds) fold, merge chunk minima
+            def fold(lo: int, hi: int) -> np.ndarray:
+                out = np.empty((hi - lo, len(all_seeds)), dtype=np.int64)
+                for s in range(lo, hi, 1 << 12):
+                    e = min(s + (1 << 12), hi)
+                    out[s - lo : e - lo] = kernel.hash_tokens(uniq[s:e], all_seeds)
+                return out
+
+            mins_all = kernel._chunked_fold_min(
+                fold, len(uniq), tok_ids, counts, len(str_list), len(all_seeds)
+            )
+        elif uniq:
             uhash = np.empty((len(uniq), len(all_seeds)), dtype=np.int64)
             for lo in range(0, len(uniq), 1 << 12):
                 uhash[lo : lo + (1 << 12)] = kernel.hash_tokens(uniq[lo : lo + (1 << 12)], all_seeds)

@@ -304,6 +304,17 @@ def minhash_mins(
     if not uniq:
         return np.full((n_docs, size), LONG_MAX, dtype=np.int64)
     seeds = _seed_longs(seed, size)
+    if len(uniq) > _UNIQ_FOLD_CHUNK:
+        # vocabulary-explosion guard (e.g. unique-id-dense machine logs):
+        # bound the dense fold to chunk x size, merge chunk minima
+        def fold(lo: int, hi: int) -> np.ndarray:
+            out = np.empty((hi - lo, size), dtype=np.int64)
+            for s in range(lo, hi, token_chunk):
+                e = min(s + token_chunk, hi)
+                out[s - lo : e - lo] = hash_tokens(uniq[s:e], seeds)
+            return out
+
+        return _chunked_fold_min(fold, len(uniq), tok_ids, counts, n_docs, size)
     uhash = np.empty((len(uniq), size), dtype=np.int64)
     for lo in range(0, len(uniq), token_chunk):
         uhash[lo : lo + token_chunk] = hash_tokens(uniq[lo : lo + token_chunk], seeds)
@@ -677,7 +688,12 @@ def minhash_mins_char_shingle(
         # per-doc min-reduce instead; memory stays O(chunk x size) while the
         # batch-wide window dedup is preserved.
         return _chunked_fold_min(
-            batch, rep_rows, tok_ids, counts, seeds, n_docs, size, token_chunk
+            lambda lo, hi: _rep_seed_hash(batch, rep_rows[lo:hi], seeds, token_chunk),
+            len(rep_rows),
+            tok_ids,
+            counts,
+            n_docs,
+            size,
         )
     uhash = _rep_seed_hash(batch, rep_rows, seeds, token_chunk)
     n_uniq = uhash.shape[0]
@@ -703,25 +719,23 @@ _UNIQ_FOLD_CHUNK = 1 << 17
 
 
 def _chunked_fold_min(
-    batch: _ShingleBatch,
-    rep_rows: np.ndarray,
+    fold,
+    n_uniq: int,
     tok_ids: np.ndarray,
     counts: np.ndarray,
-    seeds: np.ndarray,
     n_docs: int,
     size: int,
-    token_chunk: int,
 ) -> np.ndarray:
     """Per-doc minima without materializing the full (n_uniq x size) fold:
-    distinct windows are processed in chunks, each chunk's per-doc segment
-    minima merged into a running (n_docs x size) accumulator (min is
-    associative, so chunked minima equal the global minima exactly)."""
+    distinct tokens/windows are processed in chunks via ``fold(lo, hi) ->
+    (hi-lo, size) int64``, each chunk's per-doc segment minima merged into a
+    running (n_docs x size) accumulator (min is associative, so chunked
+    minima equal the global minima exactly)."""
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     order = np.argsort(tok_ids, kind="stable")
     st = tok_ids[order]
     sd = doc_of[order]
     mins = np.full((n_docs, size), LONG_MAX, dtype=np.int64)
-    n_uniq = len(rep_rows)
     for lo in range(0, n_uniq, _UNIQ_FOLD_CHUNK):
         hi = min(lo + _UNIQ_FOLD_CHUNK, n_uniq)
         a = int(np.searchsorted(st, lo, "left"))
@@ -729,7 +743,7 @@ def _chunked_fold_min(
         if a == b:
             continue
         width = np.int64(hi - lo)
-        # collapse repeated (doc, window) pairs, then group per doc: one
+        # collapse repeated (doc, token) pairs, then group per doc: one
         # flat sort gives _segment_min its doc-contiguous id layout
         key = np.sort(sd[a:b] * width + (st[a:b] - lo))
         new = np.empty(len(key), dtype=bool)
@@ -739,8 +753,7 @@ def _chunked_fold_min(
         d2 = sel // width
         t2 = sel - d2 * width
         cnt2 = np.bincount(d2, minlength=n_docs)
-        uh = _rep_seed_hash(batch, rep_rows[lo:hi], seeds, token_chunk)
-        np.minimum(mins, _segment_min(uh, t2, cnt2), out=mins)
+        np.minimum(mins, _segment_min(fold(lo, hi), t2, cnt2), out=mins)
     return mins
 
 
