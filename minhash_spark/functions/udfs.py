@@ -143,6 +143,39 @@ def minhash_struct_udf(cfg: MinHashConfig, exclude_sorted: np.ndarray | None = N
     return _udf
 
 
+def _multi_config_mins(str_list: list[str], cfgs: list[MinHashConfig]) -> np.ndarray:
+    """(n_docs, sum(size)) minima for the one-pass copy_to fan-out: tokenize +
+    factorize ONCE, fold every config's seed family over the same token
+    vocabulary. Vocabularies above _UNIQ_FOLD_CHUNK route through the chunked
+    min-reduce (bounded dense working set, identical minima)."""
+    from minhash_spark.tokenize import make_tokenizer as _mk
+
+    cfg0 = cfgs[0]
+    tok = _mk(cfg0.tokenizer, **cfg0.tokenizer_params)
+    docs_tokens = [tok(s) for s in str_list]
+    uniq, tok_ids, counts = kernel._factorize_tokens(docs_tokens)
+    all_seeds = np.concatenate([kernel._seed_longs(c.seed, c.size) for c in cfgs])
+    if not uniq:
+        return np.full((len(str_list), len(all_seeds)), kernel.LONG_MAX, dtype=np.int64)
+    if len(uniq) > kernel._UNIQ_FOLD_CHUNK:
+        # vocabulary-explosion guard, same as minhash_mins: bound the dense
+        # (uniq x total_seeds) fold, merge chunk minima
+        def fold(lo: int, hi: int) -> np.ndarray:
+            out = np.empty((hi - lo, len(all_seeds)), dtype=np.int64)
+            for s in range(lo, hi, 1 << 12):
+                e = min(s + (1 << 12), hi)
+                out[s - lo : e - lo] = kernel.hash_tokens(uniq[s:e], all_seeds)
+            return out
+
+        return kernel._chunked_fold_min(
+            fold, len(uniq), tok_ids, counts, len(str_list), len(all_seeds)
+        )
+    uhash = np.empty((len(uniq), len(all_seeds)), dtype=np.int64)
+    for lo in range(0, len(uniq), 1 << 12):
+        uhash[lo : lo + (1 << 12)] = kernel.hash_tokens(uniq[lo : lo + (1 << 12)], all_seeds)
+    return kernel._segment_min(uhash, tok_ids, counts)
+
+
 def multi_config_struct_udf(configs: dict[str, MinHashConfig]):
     """content -> struct<name: struct<sig, sig_b64, bands>, ...> — the one-pass
     ``copy_to`` fan-out (MinHashPluginTest.java:106-113 indexes one field into
@@ -169,36 +202,11 @@ def multi_config_struct_udf(configs: dict[str, MinHashConfig]):
 
     @pandas_udf(out_type)
     def _udf(texts: pd.Series) -> pd.DataFrame:
-        from minhash_spark.tokenize import make_tokenizer as _mk
-
         cfg0 = cfgs[0]
         vals = texts.fillna(cfg0.null_value) if cfg0.null_value is not None else texts
         mask = vals.notna().to_numpy()
         str_list = vals.fillna("").astype(str).tolist()
-        tok = _mk(cfg0.tokenizer, **cfg0.tokenizer_params)
-        docs_tokens = [tok(s) for s in str_list]
-        uniq, tok_ids, counts = kernel._factorize_tokens(docs_tokens)
-        all_seeds = np.concatenate([kernel._seed_longs(c.seed, c.size) for c in cfgs])
-        if uniq and len(uniq) > kernel._UNIQ_FOLD_CHUNK:
-            # vocabulary-explosion guard, same as minhash_mins: bound the
-            # dense (uniq x total_seeds) fold, merge chunk minima
-            def fold(lo: int, hi: int) -> np.ndarray:
-                out = np.empty((hi - lo, len(all_seeds)), dtype=np.int64)
-                for s in range(lo, hi, 1 << 12):
-                    e = min(s + (1 << 12), hi)
-                    out[s - lo : e - lo] = kernel.hash_tokens(uniq[s:e], all_seeds)
-                return out
-
-            mins_all = kernel._chunked_fold_min(
-                fold, len(uniq), tok_ids, counts, len(str_list), len(all_seeds)
-            )
-        elif uniq:
-            uhash = np.empty((len(uniq), len(all_seeds)), dtype=np.int64)
-            for lo in range(0, len(uniq), 1 << 12):
-                uhash[lo : lo + (1 << 12)] = kernel.hash_tokens(uniq[lo : lo + (1 << 12)], all_seeds)
-            mins_all = kernel._segment_min(uhash, tok_ids, counts)
-        else:
-            mins_all = np.full((len(str_list), len(all_seeds)), kernel.LONG_MAX, dtype=np.int64)
+        mins_all = _multi_config_mins(str_list, cfgs)
         cols = {}
         for j, (n, c) in enumerate(zip(names, cfgs)):
             mins = mins_all[:, col_offs[j] : col_offs[j + 1]]

@@ -267,3 +267,40 @@ def test_sql_surface_matches_dataframe_api(spark):
     ).collect()
     sh = spark.sql("SELECT simhash64(text) AS h FROM sql_docs").collect()
     assert all(r["h"] is not None for r in sh)
+
+
+def test_multi_config_chunked_fold_parity(monkeypatch):
+    """The copy_to fan-out must produce identical minima when its vocabulary
+    overflows _UNIQ_FOLD_CHUNK and takes the chunked min-reduce. Calls the
+    plain helper directly (a driver-side monkeypatch cannot reach Spark's
+    Python worker processes, so testing through the UDF would be vacuous)."""
+    import numpy as np
+
+    from minhash_spark import kernel
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.functions.udfs import _multi_config_mins
+
+    cfgs = [
+        MinHashConfig(seed=0, size=32, bit=1, tokenizer="word",
+                      num_bands=8, rows_per_band=4),
+        MinHashConfig(seed=77, size=16, bit=2, tokenizer="word",
+                      num_bands=4, rows_per_band=4),
+    ]
+    rng = np.random.default_rng(9)
+    texts = [
+        " ".join(f"w{int(x)}" for x in rng.integers(0, 400, 30))
+        for _ in range(40)
+    ] + ["", "solo"]
+
+    dense = _multi_config_mins(texts, cfgs)
+    assert dense.shape == (len(texts), 48)
+    monkeypatch.setattr(kernel, "_UNIQ_FOLD_CHUNK", 37)
+    chunked = _multi_config_mins(texts, cfgs)
+    np.testing.assert_array_equal(dense, chunked)
+    # per-config parity vs the single-config kernel path
+    monkeypatch.setattr(kernel, "_UNIQ_FOLD_CHUNK", 1 << 20)
+    from minhash_spark.tokenize import make_tokenizer
+
+    tok = make_tokenizer("word")
+    solo = kernel.minhash_mins([tok(t) for t in texts], seed=77, size=16)
+    np.testing.assert_array_equal(dense[:, 32:], solo)
