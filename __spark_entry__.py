@@ -86,6 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": Q.q_multimodal_features,
         "multimodal_frames": Q.q_multimodal_frames,
         "clean_text": Q.q_clean_text,
+        # code-corpus curation (The Stack / StarCoder-style)
+        "code_stats": Q.q_code_stats,
+        "secret_scan": Q.q_secret_scan,
+        "source_overlap": Q.q_source_overlap,
     }
 
 
@@ -700,5 +704,100 @@ def oracle_sql() -> dict[str, str]:
                         THEN list_sum(codes)::BIGINT::DOUBLE / len(codes)
                         ELSE 0.0 END AS f_mean
             FROM t
+        """,
+        # code-file stats/filter: mean line length recovered arithmetically
+        # (n_chars - separators) / n_lines — one exact int/int division, so
+        # the double is bit-identical on both engines
+        "code_stats": """
+            WITH t AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+                     length(text) AS nc
+              FROM documents
+            ), s AS (
+              SELECT doc_id, nc, len(ls) AS n_lines,
+                     list_max(list_transform(ls, l -> length(l))) AS max_line_len,
+                     (nc - (len(ls) - 1))::DOUBLE / len(ls) AS avg_line_len,
+                     CASE WHEN nc > 0
+                          THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / nc
+                          ELSE 0.0 END AS alpha_ratio,
+                     (lower(text) LIKE '%generated by%'
+                      OR lower(text) LIKE '%do not edit%'
+                      OR lower(text) LIKE '%autogenerated%') AS autogen
+              FROM t
+            ), r AS (
+              SELECT doc_id, n_lines, max_line_len, avg_line_len, alpha_ratio,
+                     CASE WHEN autogen THEN 'autogenerated'
+                          WHEN max_line_len > 1000 THEN 'long_line'
+                          WHEN avg_line_len > 100 THEN 'high_avg_line'
+                          WHEN alpha_ratio < 0.25 THEN 'low_alpha'
+                          ELSE 'ok' END AS reason
+              FROM s
+            )
+            SELECT doc_id, n_lines::BIGINT AS n_lines,
+                   max_line_len::BIGINT AS max_line_len,
+                   avg_line_len, alpha_ratio, reason,
+                   (reason = 'ok')::BIGINT AS keep
+            FROM r
+        """,
+        # identical pattern text on both engines (Java-regex ∩ RE2 subset,
+        # see queries.SECRET_PATTERNS); redaction order fixed
+        "secret_scan": """
+            WITH r AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                     len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}')) AS n_aws_keys,
+                     len(regexp_extract_all(text,
+                         '-----BEGIN [A-Z ]*PRIVATE KEY-----')) AS n_priv_keys,
+                     len(regexp_extract_all(text, '\\b[0-9a-f]{32,}\\b')) AS n_hex_secrets,
+                     len(regexp_extract_all(text,
+                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         'AKIA[0-9A-Z]{16}', '<AWS_KEY>', 'g'),
+                         '-----BEGIN [A-Z ]*PRIVATE KEY-----', '<PRIV_KEY>', 'g'),
+                         '\\b[0-9a-f]{32,}\\b', '<HEX_SECRET>', 'g'),
+                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                         '<IPV4>', 'g') AS redacted_text
+              FROM documents
+            )
+            SELECT doc_id,
+                   n_emails::BIGINT AS n_emails,
+                   n_aws_keys::BIGINT AS n_aws_keys,
+                   n_priv_keys::BIGINT AS n_priv_keys,
+                   n_hex_secrets::BIGINT AS n_hex_secrets,
+                   n_ipv4::BIGINT AS n_ipv4,
+                   (n_emails + n_aws_keys + n_priv_keys + n_hex_secrets
+                    + n_ipv4)::BIGINT AS n_secrets,
+                   (n_emails + n_aws_keys + n_priv_keys + n_hex_secrets
+                    + n_ipv4 > 0)::BIGINT AS has_secrets,
+                   redacted_text
+            FROM r
+        """,
+        # collection overlap: exact integer set sizes -> one int/int division
+        "source_overlap": """
+            WITH u AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents
+            ), t AS (
+              SELECT DISTINCT source, term FROM u
+            ), sz AS (
+              SELECT source, count(*) AS n FROM t GROUP BY source
+            ), sh AS (
+              SELECT a.source AS a_source, b.source AS b_source,
+                     count(*) AS n_shared
+              FROM t a JOIN t b ON a.term = b.term AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT a_source, b_source,
+                   n_shared::BIGINT AS n_shared,
+                   sa.n::BIGINT AS n_a_terms,
+                   sb.n::BIGINT AS n_b_terms,
+                   n_shared::DOUBLE / (sa.n + sb.n - n_shared) AS jaccard
+            FROM sh
+            JOIN sz sa ON sa.source = sh.a_source
+            JOIN sz sb ON sb.source = sh.b_source
         """,
     }

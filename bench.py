@@ -166,6 +166,9 @@ def main():
     timed("multimodal_features_docs", lambda: Q.q_multimodal_features(spark, sf_dir))
     timed("clean_text_docs", lambda: Q.q_clean_text(spark, sf_dir))
     timed("multimodal_frames_docs", lambda: Q.q_multimodal_frames(spark, sf_dir))
+    timed("code_stats_docs", lambda: Q.q_code_stats(spark, sf_dir))
+    timed("secret_scan_docs", lambda: Q.q_secret_scan(spark, sf_dir))
+    timed("source_overlap_docs", lambda: Q.q_source_overlap(spark, sf_dir))
     timed("event_props_rollup", lambda: Q.q_event_props_rollup(spark, sf_dir))
     timed("common_spans_docs", lambda: Q.q_common_spans(spark, sf_dir))
     timed("repetition_scores_docs", lambda: Q.q_repetition_scores(spark, sf_dir))

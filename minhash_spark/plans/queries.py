@@ -1623,3 +1623,123 @@ def q_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_id").cast("long").alias("train_id"),
         "jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# code-corpus curation (The Stack / StarCoder-style filters over raw files)
+# ---------------------------------------------------------------------------
+
+# autogenerated-file markers (case-insensitive substring match) — the
+# standard The-Stack exclusion list shape
+AUTOGEN_MARKERS = ["generated by", "do not edit", "autogenerated"]
+
+
+def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The-Stack/StarCoder-style code-file statistics + keep/drop filter:
+    line-structure stats (line count, max/mean line length), alphabetic
+    character ratio, autogenerated-marker detection, and the canonical drop
+    rules (max line > 1000 chars, mean line > 100 chars, alpha ratio < 0.25,
+    autogenerated) with an auditable first-failing-rule reason column.
+
+    Pure native expressions (split/transform/regexp_replace run JVM-side in
+    whole-stage codegen) — a per-row map with NO shuffle; the sum of line
+    lengths is recovered arithmetically (n_chars - (n_lines-1) separators)
+    so mean line length is one exact int/int division on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n", -1)
+    n_lines = F.size(lines)
+    n_chars = F.length("text")
+    max_line = F.array_max(F.transform(lines, lambda l: F.length(l)))
+    avg_line = (n_chars - (n_lines - F.lit(1))).cast("double") / n_lines
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    low = F.lower(F.col("text"))
+    autogen = F.lit(False)
+    for m in AUTOGEN_MARKERS:
+        autogen = autogen | low.contains(m)
+    reason = (
+        F.when(autogen, F.lit("autogenerated"))
+        .when(max_line > 1000, F.lit("long_line"))
+        .when(avg_line > 100, F.lit("high_avg_line"))
+        .when(alpha_ratio < 0.25, F.lit("low_alpha"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        max_line.cast("long").alias("max_line_len"),
+        avg_line.alias("avg_line_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        reason.alias("reason"),
+        (reason == "ok").cast("long").alias("keep"),
+    )
+
+
+# secret/PII patterns — shared Java-regex/RE2 subset (no lookaround, ASCII
+# \b), so the Spark expressions and the DuckDB oracle compile the SAME
+# pattern text (the StarCoder pipeline's redaction pass shape)
+SECRET_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "priv_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "hex_secret": r"\b[0-9a-f]{32,}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+# redaction applies in this fixed order (priv_key before hex_secret so a key
+# body never half-matches after its header is rewritten)
+SECRET_REDACT_ORDER = ["email", "aws_key", "priv_key", "hex_secret", "ipv4"]
+
+
+def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret scan + redaction over raw text (StarCoder-style): count
+    email addresses, AWS access-key ids, private-key headers, long hex
+    secrets, and IPv4 literals, and emit ``redacted_text`` with each match
+    replaced by a typed placeholder. Entirely native ``regexp_extract_all``
+    / ``regexp_replace`` (JVM regex inside codegen — a pure per-row map, no
+    UDF, no shuffle); patterns live in the Java-regex ∩ RE2 subset so the
+    DuckDB oracle runs the identical pattern text."""
+    docs = load(spark, sf_dir, "documents")
+    counts = {
+        k: F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))
+        for k, p in SECRET_PATTERNS.items()
+    }
+    red = F.col("text")
+    for k in SECRET_REDACT_ORDER:
+        red = F.regexp_replace(red, SECRET_PATTERNS[k], f"<{k.upper()}>")
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_emails"),
+        counts["aws_key"].cast("long").alias("n_aws_keys"),
+        counts["priv_key"].cast("long").alias("n_priv_keys"),
+        counts["hex_secret"].cast("long").alias("n_hex_secrets"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        total.cast("long").alias("n_secrets"),
+        (total > 0).cast("long").alias("has_secrets"),
+        red.alias("redacted_text"),
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-level overlap: pairwise Jaccard of the distinct whitespace
+    vocabularies of each ``source`` — the corpus-overlap report run before
+    mixing crawls (and, instantiated over (repo, file-sha), the fork
+    detector; see operators/collections.py for the scale analysis of the
+    inverted-index join shape this uses — no all-pairs, no driver sets)."""
+    from minhash_spark.operators.collections import collection_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    terms = docs.select(F.col("source"), F.explode(toks).alias("term"))
+    return collection_overlap(terms, "source", "term").select(
+        F.col("a").alias("a_source"),
+        F.col("b").alias("b_source"),
+        "n_shared",
+        F.col("n_a").alias("n_a_terms"),
+        F.col("n_b").alias("n_b_terms"),
+        "jaccard",
+    )
