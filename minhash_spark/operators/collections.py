@@ -54,6 +54,12 @@ def collection_overlap(
             items.join(dfc.where(F.col("item_df") <= max_item_df), "item")
             .select("coll", "item")
         )
+    # the distinct (coll, item) subtree feeds THREE consumers (both join
+    # sides and the size table); without this, Catalyst re-executes the
+    # scan+explode+distinct per consumer — at corpus scale that triples the
+    # dominant cost. Cached (recomputable, spillable), not localCheckpoint:
+    # survives executor loss on a preemptible cluster.
+    items = items.persist()
     sizes = items.groupBy("coll").agg(F.count("*").alias("n"))
     a = items.select(F.col("coll").alias("a"), "item")
     b = items.select(F.col("coll").alias("b"), "item")

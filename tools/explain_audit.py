@@ -43,6 +43,9 @@ AUDITED = [
     "region_revenue",
     "top_revenue_orders",
     "late_shipment_priority",
+    "code_stats",
+    "secret_scan",
+    "source_overlap",
 ]
 
 CHECKS = {
