@@ -1629,11 +1629,6 @@ def q_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # code-corpus curation (The Stack / StarCoder-style filters over raw files)
 # ---------------------------------------------------------------------------
 
-# autogenerated-file markers (case-insensitive substring match) — the
-# standard The-Stack exclusion list shape
-AUTOGEN_MARKERS = ["generated by", "do not edit", "autogenerated"]
-
-
 def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The-Stack/StarCoder-style code-file statistics + keep/drop filter:
     line-structure stats (line count, max/mean line length), alphabetic
@@ -1642,54 +1637,23 @@ def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     autogenerated) with an auditable first-failing-rule reason column.
 
     Pure native expressions (split/transform/regexp_replace run JVM-side in
-    whole-stage codegen) — a per-row map with NO shuffle; the sum of line
-    lengths is recovered arithmetically (n_chars - (n_lines-1) separators)
-    so mean line length is one exact int/int division on both engines."""
+    whole-stage codegen) — a per-row map with NO shuffle. Expression
+    builders shared with the batch curation pipeline (operators/curation.py)
+    so the audited filter IS the applied filter."""
+    from minhash_spark.operators.curation import code_file_stats, code_filter_reason
+
     docs = load(spark, sf_dir, "documents")
-    lines = F.split(F.col("text"), "\n", -1)
-    n_lines = F.size(lines)
-    n_chars = F.length("text")
-    max_line = F.array_max(F.transform(lines, lambda l: F.length(l)))
-    avg_line = (n_chars - (n_lines - F.lit(1))).cast("double") / n_lines
-    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
-    alpha_ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(
-        F.lit(0.0)
-    )
-    low = F.lower(F.col("text"))
-    autogen = F.lit(False)
-    for m in AUTOGEN_MARKERS:
-        autogen = autogen | low.contains(m)
-    reason = (
-        F.when(autogen, F.lit("autogenerated"))
-        .when(max_line > 1000, F.lit("long_line"))
-        .when(avg_line > 100, F.lit("high_avg_line"))
-        .when(alpha_ratio < 0.25, F.lit("low_alpha"))
-        .otherwise(F.lit("ok"))
-    )
+    s = code_file_stats(F.col("text"))
+    reason = code_filter_reason(F.col("text"))
     return docs.select(
         "doc_id",
-        n_lines.cast("long").alias("n_lines"),
-        max_line.cast("long").alias("max_line_len"),
-        avg_line.alias("avg_line_len"),
-        alpha_ratio.alias("alpha_ratio"),
+        s["n_lines"].cast("long").alias("n_lines"),
+        s["max_line_len"].cast("long").alias("max_line_len"),
+        s["avg_line_len"].alias("avg_line_len"),
+        s["alpha_ratio"].alias("alpha_ratio"),
         reason.alias("reason"),
         (reason == "ok").cast("long").alias("keep"),
     )
-
-
-# secret/PII patterns — shared Java-regex/RE2 subset (no lookaround, ASCII
-# \b), so the Spark expressions and the DuckDB oracle compile the SAME
-# pattern text (the StarCoder pipeline's redaction pass shape)
-SECRET_PATTERNS = {
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "aws_key": r"AKIA[0-9A-Z]{16}",
-    "priv_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
-    "hex_secret": r"\b[0-9a-f]{32,}\b",
-    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
-}
-# redaction applies in this fixed order (priv_key before hex_secret so a key
-# body never half-matches after its header is rewritten)
-SECRET_REDACT_ORDER = ["email", "aws_key", "priv_key", "hex_secret", "ipv4"]
 
 
 def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1699,15 +1663,12 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by a typed placeholder. Entirely native ``regexp_extract_all``
     / ``regexp_replace`` (JVM regex inside codegen — a pure per-row map, no
     UDF, no shuffle); patterns live in the Java-regex ∩ RE2 subset so the
-    DuckDB oracle runs the identical pattern text."""
+    DuckDB oracle runs the identical pattern text (operators/curation.py)."""
+    from minhash_spark.operators.curation import redact_secrets, secret_counts
+
     docs = load(spark, sf_dir, "documents")
-    counts = {
-        k: F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))
-        for k, p in SECRET_PATTERNS.items()
-    }
-    red = F.col("text")
-    for k in SECRET_REDACT_ORDER:
-        red = F.regexp_replace(red, SECRET_PATTERNS[k], f"<{k.upper()}>")
+    counts = secret_counts(F.col("text"))
+    red = redact_secrets(F.col("text"))
     total = None
     for c in counts.values():
         total = c if total is None else total + c
