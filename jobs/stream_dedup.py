@@ -33,6 +33,12 @@ def main():
     p.add_argument("--state", required=True, help="state root (signatures/, edges/, clusters/)")
     p.add_argument("--checkpoint", required=True, help="Structured Streaming checkpoint dir")
     p.add_argument("--clusters", action="store_true", help="maintain the clusters table per batch")
+    p.add_argument(
+        "--curate",
+        action="store_true",
+        help="apply the curation filter + secret redaction per micro-batch "
+        "(same rules as jobs/curate.py) before signing",
+    )
     from minhash_spark.cli import add_analyzer_args, config_from_args
 
     add_analyzer_args(p)
@@ -47,7 +53,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     run_incremental_dedup(
         spark, args.landing, args.state, args.checkpoint, cfg,
-        maintain_clusters=args.clusters,
+        maintain_clusters=args.clusters, curate=args.curate,
     )
 
     summary = {"config_hash": cfg.config_hash()}

@@ -37,13 +37,26 @@ FILES_SCHEMA = T.StructType(
 
 
 def signature_stream(
-    spark: SparkSession, input_dir: str, cfg: MinHashConfig
+    spark: SparkSession, input_dir: str, cfg: MinHashConfig, curate: bool = False
 ) -> DataFrame:
-    """readStream(files) -> streaming DataFrame of signatures (narrow map)."""
+    """readStream(files) -> streaming DataFrame of signatures (narrow map).
+
+    ``curate=True`` applies the SAME curation pass as the batch pipeline
+    (plans/curate.py) inside the stream: drop files failing the code-quality
+    filter, redact secrets BEFORE hashing — so streamed state and batch
+    state stay signature-compatible (a redacted twin dedups identically on
+    both paths). Both steps are native Column expressions; the stream stays
+    a narrow map."""
     from minhash_spark.functions.udfs import file_id_col
 
     sig = minhash_struct_udf(cfg)
     stream = spark.readStream.schema(FILES_SCHEMA).parquet(input_dir)
+    if curate:
+        from minhash_spark.operators.curation import code_filter_reason, redact_secrets
+
+        stream = stream.where(
+            code_filter_reason(F.col("content")) == "ok"
+        ).withColumn("content", redact_secrets(F.col("content")))
     return (
         stream.withColumn("file_id", file_id_col())
         .withColumn("content_sha256", F.sha2(F.col("content"), 256))
@@ -69,11 +82,12 @@ def run_incremental_signatures(
     output_dir: str,
     checkpoint_dir: str,
     cfg: MinHashConfig,
+    curate: bool = False,
 ) -> None:
     """Append-only signature ingest; availableNow drains the backlog and
     stops (cron-style incremental batch — the common production shape)."""
     q = (
-        signature_stream(spark, input_dir, cfg)
+        signature_stream(spark, input_dir, cfg, curate=curate)
         .writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
@@ -90,6 +104,7 @@ def run_incremental_dedup(
     checkpoint_dir: str,
     cfg: MinHashConfig,
     maintain_clusters: bool = False,
+    curate: bool = False,
 ) -> None:
     """Incremental near-dup detection: per micro-batch, new docs' band keys
     join the accumulated bucket table; candidate pairs (new x history plus
@@ -212,7 +227,7 @@ def run_incremental_dedup(
             clustered.localCheckpoint().write.mode("overwrite").parquet(clusters_dir)
 
     q = (
-        signature_stream(spark, input_dir, cfg)
+        signature_stream(spark, input_dir, cfg, curate=curate)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -214,3 +214,47 @@ def test_streaming_clusters_equal_batch_pipeline(spark, tmp_path):
     batch_partition = {frozenset(v) for v in batch.values()}
     stream_partition = {frozenset(v) for v in stream.values()}
     assert batch_partition == stream_partition
+
+
+def test_incremental_dedup_with_curation(spark, tmp_path):
+    """curate=True applies the batch pipeline's filter + redaction per
+    micro-batch: autogen files never enter state; secrets are redacted
+    BEFORE hashing so content_sha256 matches the redacted content (batch and
+    stream state stay signature-compatible)."""
+    import hashlib
+
+    inp, state, ckpt = (str(tmp_path / d) for d in ("cin", "cstate", "cckpt"))
+    body = "\n".join(
+        " ".join(f"word{i+j}" for j in range(5)) for i in range(0, 30, 5)
+    )
+    _write_batch(
+        spark,
+        inp,
+        [
+            ("r", "ok.py", "c", "py", body),
+            ("r", "gen.py", "c", "py", "# generated by tool\n" + body),
+            ("r", "sec.py", "c", "py", "email bob@example.com\n" + body),
+        ],
+    )
+    run_incremental_dedup(spark, inp, state, ckpt, CFG, curate=True)
+    sigs = spark.read.parquet(os.path.join(state, "signatures")).collect()
+    paths = {r["content"][:20]: r for r in sigs}
+    assert len(sigs) == 2  # gen.py filtered out
+    redacted = next(r for r in sigs if "<EMAIL>" in r["content"])
+    assert "bob@example.com" not in redacted["content"]
+    assert (
+        redacted["content_sha256"]
+        == hashlib.sha256(redacted["content"].encode()).hexdigest()
+    )
+    # the redacted doc's signature equals the batch kernel's signature of the
+    # redacted text (stream state interoperates with batch state)
+    from minhash_spark.functions.udfs import minhash_struct_udf
+
+    sig = minhash_struct_udf(CFG)
+    batch_sig = (
+        spark.createDataFrame([(redacted["content"],)], "content string")
+        .select(sig(F.col("content")).alias("s"))
+        .select("s.sig")
+        .first()["sig"]
+    )
+    assert bytes(redacted["sig"]) == bytes(batch_sig)
