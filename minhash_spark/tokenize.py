@@ -100,12 +100,41 @@ def _make_truncate(length: int = 10):
     return lambda tokens: [t[:length] for t in tokens]
 
 
+# identifier sub-word parts, Lucene WordDelimiterGraphFilter default rules:
+# acronym runs ([A-Z]+ not followed by lowercase), capitalized words,
+# lowercase runs, digit runs (alpha<->digit transitions split); non-ASCII
+# runs pass through whole. Underscores/punctuation never match -> split.
+_DELIM_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|[0-9]+|[^\x00-\x7f]+")
+
+
+def _make_word_delimiter(preserve_original: bool = False):
+    """Split identifiers into sub-words (camelCase, PascalCase, snake_case,
+    ACRONYMWord, alpha-digit) — the Lucene ``word_delimiter_graph`` analog
+    and the standard tokenization for source-code dedup/search ("a fork that
+    renamed getHttpResponse to get_http_response still shares sub-words").
+    ``preserve_original`` additionally emits the unsplit token."""
+
+    def split(tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            parts = _DELIM_RE.findall(t)
+            if preserve_original and parts != [t]:
+                out.append(t)
+            out.extend(parts if parts else [t])
+        return out
+
+    return split
+
+
 TOKEN_FILTERS = {
     "lowercase": lambda **kw: _lowercase,
     "stop": lambda stopwords=None, **kw: (_make_stop(stopwords) if stopwords else _make_stop()),
     "asciifolding": lambda **kw: _make_asciifold(),
     "length": lambda min=1, max=255, **kw: _make_length(min, max),
     "truncate": lambda length=10, **kw: _make_truncate(length),
+    "word_delimiter": lambda preserve_original=False, **kw: _make_word_delimiter(
+        preserve_original
+    ),
 }
 
 

@@ -485,3 +485,36 @@ def test_char_filters_respected_on_char_shingle_kernel_path():
 
     exp = kernel.minhash_mins([list(set(tok(texts[0])))], seed=0, size=128)[0]
     assert np.array_equal(m_strip[0], exp)
+
+
+def test_word_delimiter_filter_identifier_splitting():
+    """Lucene word_delimiter_graph analog for source code: camelCase,
+    PascalCase, snake_case, acronym runs, and alpha<->digit transitions all
+    split into sub-words; a renamed-identifier fork shares sub-word tokens."""
+    from minhash_spark.tokenize import make_tokenizer
+
+    an = make_tokenizer("word", filters=["word_delimiter", "lowercase"])
+    assert an("getHTTPResponseCode") == ["get", "http", "response", "code"]
+    assert an("snake_case_name") == ["snake", "case", "name"]
+    assert an("PascalCase x86 v2") == ["pascal", "case", "x", "86", "v", "2"]
+    assert an("HTTPServer") == ["http", "server"]
+    # the canonical rename-equivalence: camelCase vs snake_case tokenize
+    # identically after the chain
+    assert an("getHttpResponse") == an("get_http_response")
+    # preserve_original keeps the unsplit identifier alongside the parts
+    an2 = make_tokenizer(
+        "word", filters=[("word_delimiter", {"preserve_original": True})]
+    )
+    assert an2("fooBar") == ["fooBar", "foo", "Bar"]
+    assert an2("plain") == ["plain"]
+    # non-ASCII runs pass through the FILTER whole (no spurious splits inside
+    # CJK; the standard tokenizer keeps mixed-script \w runs as one token)
+    an3 = make_tokenizer("standard", filters=["word_delimiter", "lowercase"])
+    assert an3("ascii日本語mix") == ["ascii", "日本語", "mix"]
+    # chain participates in config identity
+    from minhash_spark.config import MinHashConfig
+
+    a = MinHashConfig(tokenizer="word",
+                      tokenizer_params={"filters": ["word_delimiter"]})
+    b = MinHashConfig(tokenizer="word")
+    assert a.config_hash() != b.config_hash()
