@@ -22,12 +22,29 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-STAGES = ("common_shingles", "signatures", "edges", "clusters", "clusters_all")
+# canonical order; any OTHER manifest-bearing stage dir (e.g. the curation
+# pipeline's filtered/curated/decontaminated) is appended alphabetically so
+# the report covers every checkpointed stage under the root
+STAGES = (
+    "filtered",
+    "common_shingles",
+    "signatures",
+    "edges",
+    "clusters",
+    "clusters_all",
+    "curated",
+    "decontaminated",
+)
 
 
 def stage_summaries(io) -> list[dict]:
+    extra = sorted(
+        d
+        for d in os.listdir(io.root)
+        if d not in STAGES and io.manifest(d) is not None
+    )
     out = []
-    for name in STAGES:
+    for name in STAGES + tuple(extra):
         m = io.manifest(name)
         if m is None:
             continue
