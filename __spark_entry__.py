@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": Q.q_event_sessions,
         "event_windowed_counts": Q.q_event_windowed_counts,
         "event_props_rollup": Q.q_event_props_rollup,
+        "event_funnel": Q.q_event_funnel,
+        "event_retention": Q.q_event_retention,
         "common_spans": Q.q_common_spans,
         # similarity search over embeddings
         "embedding_topk": Q.q_embedding_topk,
@@ -473,6 +475,48 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, doc_id, jaccard, rank FROM r WHERE rank <= 5
+        """,
+        # ordered funnel: conditional first-occurrence chain; epochs floored
+        # to whole seconds on both engines so the strict > comparisons agree
+        "event_funnel": """
+            WITH e AS (
+              SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ep
+              FROM events
+            ), t1 AS (
+              SELECT user_id, min(ep) AS t_view FROM e
+              WHERE event_type = 'view' GROUP BY user_id
+            ), t2 AS (
+              SELECT e.user_id, min(ep) AS t_click
+              FROM e JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'click' AND e.ep > t1.t_view
+              GROUP BY e.user_id
+            ), t3 AS (
+              SELECT e.user_id, min(ep) AS t_purchase
+              FROM e JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'purchase' AND e.ep > t2.t_click
+              GROUP BY e.user_id
+            )
+            SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+                   (CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+                         WHEN t2.t_click IS NOT NULL THEN 2
+                         ELSE 1 END)::BIGINT AS step_reached
+            FROM t1
+            LEFT JOIN t2 ON t2.user_id = t1.user_id
+            LEFT JOIN t3 ON t3.user_id = t1.user_id
+        """,
+        "event_retention": """
+            WITH e AS (
+              SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+              FROM events
+            ), first AS (
+              SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   date_diff('day', f.cohort_day::DATE, e.day::DATE)::BIGINT
+                     AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM e JOIN first f ON f.user_id = e.user_id
+            GROUP BY 1, 2
         """,
         "event_windowed_counts": """
             SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT

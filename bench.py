@@ -169,6 +169,8 @@ def main():
     timed("code_stats_docs", lambda: Q.q_code_stats(spark, sf_dir))
     timed("secret_scan_docs", lambda: Q.q_secret_scan(spark, sf_dir))
     timed("source_overlap_docs", lambda: Q.q_source_overlap(spark, sf_dir))
+    timed("event_funnel", lambda: Q.q_event_funnel(spark, sf_dir))
+    timed("event_retention", lambda: Q.q_event_retention(spark, sf_dir))
     timed("event_props_rollup", lambda: Q.q_event_props_rollup(spark, sf_dir))
     timed("common_spans_docs", lambda: Q.q_common_spans(spark, sf_dir))
     timed("repetition_scores_docs", lambda: Q.q_repetition_scores(spark, sf_dir))

@@ -1704,3 +1704,71 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").alias("n_b_terms"),
         "jaccard",
     )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: per user, the
+    first view, the first click strictly after that view, and the first
+    purchase strictly after that click; step_reached = deepest stage hit.
+
+    Scale shape: three conditional min-aggregations, each a partial-agg
+    shuffle on user_id (combiner reduces every map partition to <= |users|
+    rows before the exchange) — no windows, no per-user event collection, so
+    per-user event skew never materializes a row list. Timestamps floored to
+    epoch seconds (exact BIGINTs on both engines)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ep"),
+    )
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_view"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ep") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_click"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ep") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_purchase"))
+    )
+    out = t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+    step = (
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return out.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        step.cast("long").alias("step_reached"),
+    )
+
+
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort_day, day_offset) the count of distinct cohort users active that
+    day. Two partial-agg shuffles on user_id/(user, day) plus one rollup —
+    the (user, day) distinct makes the final count partial-aggregable."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    j = active.join(first, "user_id").withColumn(
+        "day_offset", F.datediff(F.col("day"), F.col("cohort_day")).cast("long")
+    )
+    return (
+        j.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -531,3 +531,38 @@ def test_relational_queries_sane(spark):
     assert len(top) <= 10
     revs = [r["revenue"] for r in top]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_event_funnel_ordering_invariants(spark):
+    rows = Q.q_event_funnel(spark, SF).collect()
+    assert rows
+    n = {1: 0, 2: 0, 3: 0}
+    for r in rows:
+        n[r["step_reached"]] += 1
+        assert r["t_view"] is not None
+        if r["step_reached"] >= 2:
+            assert r["t_click"] > r["t_view"]
+        else:
+            assert r["t_click"] is None
+        if r["step_reached"] == 3:
+            assert r["t_purchase"] > r["t_click"]
+        else:
+            assert r["t_purchase"] is None
+    # funnel counts are cumulative-monotone: reached>=k shrinks with k
+    assert n[1] + n[2] + n[3] == len(rows)
+
+
+def test_event_retention_cohort_invariants(spark):
+    rows = Q.q_event_retention(spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["day_offset"] >= 0
+        by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = r["n_users"]
+    total_day0 = sum(d[0] for d in by_cohort.values())
+    # every user appears in exactly one cohort's day-0 cell
+    users = Q.load(spark, SF, "events").select("user_id").distinct().count()
+    assert total_day0 == users
+    # retention never exceeds the cohort's day-0 size
+    for d in by_cohort.values():
+        assert all(v <= d[0] for v in d.values())
