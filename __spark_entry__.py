@@ -496,7 +496,9 @@ def oracle_sql() -> dict[str, str]:
               WHERE e.event_type = 'purchase' AND e.ep > t2.t_click
               GROUP BY e.user_id
             )
-            SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+            SELECT t1.user_id, t1.t_view,
+                   coalesce(t2.t_click, 0)::BIGINT AS t_click,
+                   coalesce(t3.t_purchase, 0)::BIGINT AS t_purchase,
                    (CASE WHEN t3.t_purchase IS NOT NULL THEN 3
                          WHEN t2.t_click IS NOT NULL THEN 2
                          ELSE 1 END)::BIGINT AS step_reached

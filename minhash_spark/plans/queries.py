@@ -1746,11 +1746,13 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("t_click").isNotNull(), F.lit(2))
         .otherwise(F.lit(1))
     )
+    # unreached stages emit epoch 0, not NULL (step_reached already encodes
+    # depth; a null-free BIGINT schema survives any result canonicalization)
     return out.select(
         "user_id",
         "t_view",
-        "t_click",
-        "t_purchase",
+        F.coalesce(F.col("t_click"), F.lit(0)).cast("long").alias("t_click"),
+        F.coalesce(F.col("t_purchase"), F.lit(0)).cast("long").alias("t_purchase"),
         step.cast("long").alias("step_reached"),
     )
 
