@@ -46,6 +46,8 @@ AUDITED = [
     "code_stats",
     "secret_scan",
     "source_overlap",
+    "event_funnel",
+    "event_retention",
 ]
 
 CHECKS = {
