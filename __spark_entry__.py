@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code-corpus curation (The Stack / StarCoder-style)
         "code_stats": Q.q_code_stats,
         "secret_scan": Q.q_secret_scan,
+        "license_scan": Q.q_license_scan,
         "source_overlap": Q.q_source_overlap,
     }
 
@@ -820,6 +821,45 @@ def oracle_sql() -> dict[str, str]:
                     + n_ipv4 > 0)::BIGINT AS has_secrets,
                    redacted_text
             FROM r
+        """,
+        # license detection: SPDX tag first, marker phrases second — the
+        # CASE order mirrors operators/curation.py:license_columns verbatim;
+        # both engines' regexp_extract return '' on no match
+        "license_scan": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract(text,
+                       'SPDX-License-Identifier:[ \t]*([0-9A-Za-z.+-]+)',
+                       1) AS spdx_id,
+                     lower(text) AS low
+              FROM documents
+            ), f AS (
+              SELECT doc_id, spdx_id, low,
+                     CASE
+                       WHEN lower(spdx_id) LIKE 'mit%' THEN 'mit'
+                       WHEN lower(spdx_id) LIKE 'apache%' THEN 'apache'
+                       WHEN lower(spdx_id) LIKE 'bsd%' THEN 'bsd'
+                       WHEN contains(lower(spdx_id), 'gpl') THEN 'gpl'
+                       WHEN spdx_id <> '' THEN 'other'
+                       WHEN contains(low,
+                         'permission is hereby granted, free of charge')
+                         THEN 'mit'
+                       WHEN contains(low, 'licensed under the apache license')
+                         THEN 'apache'
+                       WHEN contains(low,
+                         'redistribution and use in source and binary forms')
+                         THEN 'bsd'
+                       WHEN contains(low, 'gnu general public license')
+                         THEN 'gpl'
+                       ELSE 'unknown'
+                     END AS license_family
+              FROM t
+            )
+            SELECT doc_id, spdx_id, license_family,
+                   (license_family IN ('mit', 'apache', 'bsd'))::BIGINT
+                     AS permissive,
+                   contains(low, 'copyright')::BIGINT AS has_copyright
+            FROM f
         """,
         # collection overlap: exact integer set sizes -> one int/int division
         "source_overlap": """

@@ -168,6 +168,7 @@ def main():
     timed("multimodal_frames_docs", lambda: Q.q_multimodal_frames(spark, sf_dir))
     timed("code_stats_docs", lambda: Q.q_code_stats(spark, sf_dir))
     timed("secret_scan_docs", lambda: Q.q_secret_scan(spark, sf_dir))
+    timed("license_scan_docs", lambda: Q.q_license_scan(spark, sf_dir))
     timed("source_overlap_docs", lambda: Q.q_source_overlap(spark, sf_dir))
     timed("event_funnel", lambda: Q.q_event_funnel(spark, sf_dir))
     timed("event_retention", lambda: Q.q_event_retention(spark, sf_dir))

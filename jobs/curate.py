@@ -35,6 +35,12 @@ def main():
     p.add_argument("--min-shared-spans", type=int, default=1)
     p.add_argument("--shards-out", type=int, default=0)
     p.add_argument("--shards-path", default=None)
+    p.add_argument(
+        "--license-allow",
+        default=None,
+        help="comma-separated license families to KEEP (e.g. mit,apache,bsd); "
+        "omit to disable the license gate",
+    )
     from minhash_spark.cli import add_analyzer_args, config_from_args
 
     add_analyzer_args(p)
@@ -59,7 +65,14 @@ def main():
 
     io = TableIO(args.checkpoints)
     pipe = CurationPipeline(
-        spark, io, cfg, span_n=args.span_n, min_shared_spans=args.min_shared_spans
+        spark,
+        io,
+        cfg,
+        span_n=args.span_n,
+        min_shared_spans=args.min_shared_spans,
+        license_allow=(
+            args.license_allow.split(",") if args.license_allow else None
+        ),
     )
     final = pipe.run_curation(files, eval_files=eval_df)
 

@@ -73,10 +73,19 @@ class CurationPipeline(DedupPipeline):
         cfg: MinHashConfig,
         span_n: int = 5,
         min_shared_spans: int = 1,
+        license_allow: list[str] | None = None,
     ):
+        """``license_allow``: optional The-Stack-style license gate — keep
+        only files whose detected license family (operators/curation.py:
+        license_columns) is in the list, e.g. ``["mit", "apache", "bsd"]``
+        for permissive-only. ``None`` (default) disables the gate. The gate
+        runs FIRST in the filter stage (before quality rules), matching the
+        public code-corpus pipelines, and participates in filter_hash so
+        flipping it invalidates exactly the filtered stage and its suffix."""
         super().__init__(spark, io, cfg)
         self.span_n = span_n
         self.min_shared_spans = min_shared_spans
+        self.license_allow = sorted(license_allow) if license_allow else None
         # per-stage identity, so a knob change invalidates exactly the
         # stages it affects: the filter stage keys on the filter-rule
         # definition, the decontamination stage on the span knobs, and the
@@ -90,6 +99,8 @@ class CurationPipeline(DedupPipeline):
                     "thresholds": [C.MAX_LINE_LEN, C.MAX_AVG_LINE_LEN, C.MIN_ALPHA_RATIO],
                     "patterns": C.SECRET_PATTERNS,
                     "order": C.SECRET_REDACT_ORDER,
+                    "license_allow": self.license_allow,
+                    "license_markers": C.LICENSE_MARKERS,
                 },
                 sort_keys=True,
             ).encode()
@@ -110,6 +121,13 @@ class CurationPipeline(DedupPipeline):
 
         def build_filtered():
             reason = code_filter_reason(F.col("content"))
+            if self.license_allow is not None:
+                from minhash_spark.operators.curation import license_columns
+
+                fam = license_columns(F.col("content"))["license_family"]
+                reason = F.when(
+                    ~fam.isin(self.license_allow), F.lit("license")
+                ).otherwise(reason)
             counts = secret_counts(F.col("content"))
             total = None
             for c in counts.values():

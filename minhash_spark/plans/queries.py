@@ -1685,6 +1685,32 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The-Stack-style license detection over raw file text: extract an
+    explicit ``SPDX-License-Identifier`` tag when present, else classify by
+    the canonical license-text marker phrases (MIT / Apache / BSD / GPL),
+    and flag permissive families and copyright lines. License filtering is
+    the first gate of every public code-corpus pipeline (The Stack keeps
+    permissive-only files); the reference has no license surface — this is
+    a training-data extension (SURVEY §2.4 X40).
+
+    Pure native expressions (lower/instr/regexp_extract run JVM-side inside
+    whole-stage codegen) — a per-row map with NO shuffle that fuses into the
+    parquet scan; the classification order is mirrored verbatim by the
+    DuckDB oracle (operators/curation.py: license_columns)."""
+    from minhash_spark.operators.curation import license_columns
+
+    docs = load(spark, sf_dir, "documents")
+    lic = license_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        lic["spdx_id"].alias("spdx_id"),
+        lic["license_family"].alias("license_family"),
+        lic["permissive"].cast("long").alias("permissive"),
+        lic["has_copyright"].cast("long").alias("has_copyright"),
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection-level overlap: pairwise Jaccard of the distinct whitespace
     vocabularies of each ``source`` — the corpus-overlap report run before

@@ -45,6 +45,7 @@ AUDITED = [
     "late_shipment_priority",
     "code_stats",
     "secret_scan",
+    "license_scan",
     "source_overlap",
     "event_funnel",
     "event_retention",
