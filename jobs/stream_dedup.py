@@ -39,6 +39,12 @@ def main():
         help="apply the curation filter + secret redaction per micro-batch "
         "(same rules as jobs/curate.py) before signing",
     )
+    p.add_argument(
+        "--license-allow",
+        default=None,
+        help="comma-separated license families to KEEP per micro-batch "
+        "(same gate as jobs/curate.py); omit to disable",
+    )
     from minhash_spark.cli import add_analyzer_args, config_from_args
 
     add_analyzer_args(p)
@@ -54,6 +60,9 @@ def main():
     run_incremental_dedup(
         spark, args.landing, args.state, args.checkpoint, cfg,
         maintain_clusters=args.clusters, curate=args.curate,
+        license_allow=(
+            args.license_allow.split(",") if args.license_allow else None
+        ),
     )
 
     summary = {"config_hash": cfg.config_hash()}

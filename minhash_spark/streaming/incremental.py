@@ -37,7 +37,11 @@ FILES_SCHEMA = T.StructType(
 
 
 def signature_stream(
-    spark: SparkSession, input_dir: str, cfg: MinHashConfig, curate: bool = False
+    spark: SparkSession,
+    input_dir: str,
+    cfg: MinHashConfig,
+    curate: bool = False,
+    license_allow: list[str] | None = None,
 ) -> DataFrame:
     """readStream(files) -> streaming DataFrame of signatures (narrow map).
 
@@ -45,12 +49,20 @@ def signature_stream(
     (plans/curate.py) inside the stream: drop files failing the code-quality
     filter, redact secrets BEFORE hashing — so streamed state and batch
     state stay signature-compatible (a redacted twin dedups identically on
-    both paths). Both steps are native Column expressions; the stream stays
+    both paths). ``license_allow`` adds the batch pipeline's license gate
+    (keep only the listed license families), applied FIRST like the batch
+    filter stage. All steps are native Column expressions; the stream stays
     a narrow map."""
     from minhash_spark.functions.udfs import file_id_col
 
     sig = minhash_struct_udf(cfg)
     stream = spark.readStream.schema(FILES_SCHEMA).parquet(input_dir)
+    if license_allow is not None:
+        from minhash_spark.operators.curation import license_columns
+
+        stream = stream.where(
+            license_columns(F.col("content"))["license_family"].isin(license_allow)
+        )
     if curate:
         from minhash_spark.operators.curation import code_filter_reason, redact_secrets
 
@@ -83,11 +95,13 @@ def run_incremental_signatures(
     checkpoint_dir: str,
     cfg: MinHashConfig,
     curate: bool = False,
+    license_allow: list[str] | None = None,
 ) -> None:
     """Append-only signature ingest; availableNow drains the backlog and
     stops (cron-style incremental batch — the common production shape)."""
     q = (
-        signature_stream(spark, input_dir, cfg, curate=curate)
+        signature_stream(spark, input_dir, cfg, curate=curate,
+                         license_allow=license_allow)
         .writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
@@ -105,6 +119,7 @@ def run_incremental_dedup(
     cfg: MinHashConfig,
     maintain_clusters: bool = False,
     curate: bool = False,
+    license_allow: list[str] | None = None,
 ) -> None:
     """Incremental near-dup detection: per micro-batch, new docs' band keys
     join the accumulated bucket table; candidate pairs (new x history plus
@@ -227,7 +242,8 @@ def run_incremental_dedup(
             clustered.localCheckpoint().write.mode("overwrite").parquet(clusters_dir)
 
     q = (
-        signature_stream(spark, input_dir, cfg, curate=curate)
+        signature_stream(spark, input_dir, cfg, curate=curate,
+                         license_allow=license_allow)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

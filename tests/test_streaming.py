@@ -258,3 +258,27 @@ def test_incremental_dedup_with_curation(spark, tmp_path):
         .first()["sig"]
     )
     assert bytes(redacted["sig"]) == bytes(batch_sig)
+
+
+def test_incremental_signatures_license_gate(spark, tmp_path):
+    """license_allow applies the batch pipeline's license gate per
+    micro-batch: GPL-marked files never enter streamed state, matching what
+    jobs/curate.py --license-allow keeps in batch."""
+    inp, out, ckpt = (str(tmp_path / d) for d in ("lin", "lout", "lckpt"))
+    body = "\n".join(f"line {i} alpha beta" for i in range(10))
+    _write_batch(
+        spark,
+        inp,
+        [
+            ("r", "mit.py", "c", "py", "# SPDX-License-Identifier: MIT\n" + body),
+            ("r", "gpl.py", "c", "py",
+             "# under the GNU General Public License\n" + body),
+            ("r", "plain.py", "c", "py", body),
+        ],
+    )
+    run_incremental_signatures(
+        spark, inp, out, ckpt, CFG,
+        license_allow=["mit", "apache", "bsd", "unknown"],
+    )
+    paths = {r["path"] for r in spark.read.parquet(out).collect()}
+    assert paths == {"mit.py", "plain.py"}
