@@ -6,8 +6,10 @@ the same TableIO manifests the dedup pipeline uses (resumable; a changed
 input, config, or upstream stage invalidates exactly the stale suffix):
 
     raw files (repo, path, commit, lang, content)
-      → filter    (The-Stack code-quality rules + StarCoder secret redaction;
-                   per-reason drop counts in the manifest)
+      → filter    (optional license gate + The-Stack path rules
+                   [vendored/minified/lockfile] + code-quality rules +
+                   StarCoder secret redaction; per-reason drop counts in
+                   the manifest)
       → dedup     (the DedupPipeline: MinHash signatures → LSH → exact
                    verify → connected components, SURVEY §2.3)
       → curate    (one representative per near-dup cluster: most characters,
@@ -101,6 +103,11 @@ class CurationPipeline(DedupPipeline):
                     "order": C.SECRET_REDACT_ORDER,
                     "license_allow": self.license_allow,
                     "license_markers": C.LICENSE_MARKERS,
+                    "path_rules": [
+                        C.VENDOR_DIR_MARKERS,
+                        C.MINIFIED_SUFFIXES,
+                        C.LOCKFILE_NAMES,
+                    ],
                 },
                 sort_keys=True,
             ).encode()
@@ -120,7 +127,14 @@ class CurationPipeline(DedupPipeline):
         raw_fp = input_fingerprint(files)
 
         def build_filtered():
-            reason = code_filter_reason(F.col("content"))
+            # precedence: license gate, then path rules (cheap, content-free),
+            # then the content-quality rules — first failing rule names the drop
+            from minhash_spark.operators.curation import path_filter_reason
+
+            path_reason = path_filter_reason(F.col("path"))
+            reason = F.when(
+                path_reason != "ok", path_reason
+            ).otherwise(code_filter_reason(F.col("content")))
             if self.license_allow is not None:
                 from minhash_spark.operators.curation import license_columns
 

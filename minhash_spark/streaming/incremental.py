@@ -64,11 +64,17 @@ def signature_stream(
             license_columns(F.col("content"))["license_family"].isin(license_allow)
         )
     if curate:
-        from minhash_spark.operators.curation import code_filter_reason, redact_secrets
+        from minhash_spark.operators.curation import (
+            code_filter_reason,
+            path_filter_reason,
+            redact_secrets,
+        )
 
-        stream = stream.where(
-            code_filter_reason(F.col("content")) == "ok"
-        ).withColumn("content", redact_secrets(F.col("content")))
+        stream = (
+            stream.where(path_filter_reason(F.col("path")) == "ok")
+            .where(code_filter_reason(F.col("content")) == "ok")
+            .withColumn("content", redact_secrets(F.col("content")))
+        )
     return (
         stream.withColumn("file_id", file_id_col())
         .withColumn("content_sha256", F.sha2(F.col("content"), 256))
