@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_ngram_dup_pairs": Q.q_char_ngram_dup_pairs,
         "near_dup_cluster_sizes": Q.q_near_dup_cluster_sizes,
         "dedup_summary": Q.q_dedup_summary,
+        "cluster_cohesion": Q.q_cluster_cohesion,
         # text analytics (training-data pipeline extensions)
         "token_counts": Q.q_token_counts,
         "quality_scores": Q.q_quality_scores,
@@ -227,6 +228,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster_size, count(*) AS n_clusters
             FROM sizes GROUP BY cluster_size
+        """,
+        # cluster-quality diagnostics: min/max are order-independent, so the
+        # per-edge jaccard doubles (already hash-pinned via near_dup_pairs)
+        # stay bit-stable through the aggregation
+        "cluster_cohesion": f"""
+            WITH pairs AS ({_NEAR_DUP_PAIRS_SQL}),
+            clusters AS ({_NEAR_DUP_CLUSTERS_SQL}),
+            e AS (
+              SELECT c.cluster_id, p.jaccard
+              FROM pairs p JOIN clusters c ON p.a_id = c.doc_id
+            ),
+            sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM clusters GROUP BY cluster_id
+            )
+            SELECT e.cluster_id,
+                   s.cluster_size::BIGINT AS cluster_size,
+                   count(*)::BIGINT AS n_edges,
+                   min(e.jaccard) AS min_jaccard,
+                   max(e.jaccard) AS max_jaccard
+            FROM e JOIN sizes s ON e.cluster_id = s.cluster_id
+            GROUP BY e.cluster_id, s.cluster_size
         """,
         "dedup_summary": f"""
             WITH pairs AS ({_NEAR_DUP_PAIRS_SQL}),

@@ -149,6 +149,7 @@ def main():
 
     timed("near_dup_pairs_docs", lambda: Q.q_near_dup_pairs(spark, sf_dir))
     timed("near_dup_clusters_docs", lambda: Q.q_near_dup_clusters(spark, sf_dir))
+    timed("cluster_cohesion_docs", lambda: Q.q_cluster_cohesion(spark, sf_dir))
     timed("char_ngram_dup_pairs_docs", lambda: Q.q_char_ngram_dup_pairs(spark, sf_dir))
     timed("exact_dup_clusters_docs", lambda: Q.q_exact_dup_clusters(spark, sf_dir))
     timed("minhash_signatures_docs", lambda: Q.q_minhash_signatures(spark, sf_dir))

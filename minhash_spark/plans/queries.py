@@ -1685,6 +1685,41 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup cluster-quality diagnostics: for every multi-member
+    near-dup cluster, the number of verified spanning edges and the weakest
+    and strongest edge Jaccard — the over-merge detector a dedup team runs
+    after clustering (transitive LSH chaining shows up as a low min_jaccard
+    on a large cluster; a min close to the 0.8 verify threshold on a tight
+    n_edges ~= size-1 tree is healthy).
+
+    Scale shape: reuses the session-cached verified edge set (one
+    signature->LSH->verify DAG per session), one partial-agg groupBy on
+    cluster_id for the edge stats and one for the sizes, then a key join —
+    both shuffles are on cluster_id and the aggregates are min/max/count
+    (order-independent, so the doubles are bit-stable across engines)."""
+    pairs = q_near_dup_pairs(spark, sf_dir)
+    clusters = q_near_dup_clusters(spark, sf_dir)
+    e = pairs.join(
+        clusters.select(F.col("doc_id").alias("a_id"), "cluster_id"), "a_id"
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    agg = e.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return agg.join(sizes, "cluster_id").select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+        "n_edges",
+        "min_jaccard",
+        "max_jaccard",
+    )
+
+
 def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The-Stack-style license detection over raw file text: extract an
     explicit ``SPDX-License-Identifier`` tag when present, else classify by

@@ -566,3 +566,50 @@ def test_event_retention_cohort_invariants(spark):
     # retention never exceeds the cohort's day-0 size
     for d in by_cohort.values():
         assert all(v <= d[0] for v in d.values())
+
+
+def test_cluster_cohesion_planted_chain(spark, tmp_path):
+    """A transitive chain A~B~C (A-B and B-C pass 0.8, A-C does not) merges
+    into one cluster whose cohesion row exposes the chaining: n_edges == 2
+    spanning edges, min_jaccard the weaker link, max the stronger; an exact
+    dup pair forms a second cluster with one edge at jaccard 1.0."""
+    base = [f"tok{i}" for i in range(60)]
+    a = " ".join(base)
+    # b: tail 4 tokens replaced -> J(a,b) = 54/62 ~= 0.871 on word-3-shingles
+    b = " ".join(base[:56] + ["u1", "u2", "u3", "u4"])
+    # c: b with head 6 replaced -> J(b,c) = 52/64 ~= 0.813, but
+    # J(a,c) = 48/68 ~= 0.706 < 0.8 -> a~b~c is a true transitive chain
+    c = " ".join(["v1", "v2", "v3", "v4", "v5", "v6"] + base[6:56]
+                 + ["u1", "u2", "u3", "u4"])
+    d = "totally different content here entirely " * 5
+    data = [(1, a), (2, b), (3, c), (4, d), (5, d)]
+    p = str(tmp_path / "coh")
+    spark.createDataFrame(data, "doc_id long, text string").write.parquet(
+        f"{p}/documents.parquet"
+    )
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in Q.q_near_dup_pairs(spark, p).collect()}
+    rows = {r["cluster_id"]: r for r in Q.q_cluster_cohesion(spark, p).collect()}
+    clusters = {r["doc_id"]: r["cluster_id"]
+                for r in Q.q_near_dup_clusters(spark, p).collect()}
+    # the exact-dup pair (4,5): one edge, jaccard 1.0
+    dup = rows[clusters[4]]
+    assert dup["cluster_size"] == 2 and dup["n_edges"] == 1
+    assert dup["min_jaccard"] == 1.0 == dup["max_jaccard"]
+    # the chain cluster: 3 members joined by exactly the 2 verified edges
+    # (a-c itself fails 0.8), weakest link visibly below the strongest
+    assert clusters[1] == clusters[2] == clusters[3]
+    chain = rows[clusters[1]]
+    assert chain["cluster_size"] == 3 and chain["n_edges"] == 2
+    assert (1, 3) not in pairs and (3, 1) not in pairs
+    assert chain["min_jaccard"] < chain["max_jaccard"]
+    # every cohesion row aggregates exactly its cluster's verified edges
+    for cid, r in rows.items():
+        members = {d for d, c in clusters.items() if c == cid}
+        edges = {k: v for k, v in pairs.items()
+                 if k[0] in members and k[1] in members}
+        assert r["n_edges"] == len(edges) and len(edges) > 0
+        assert r["min_jaccard"] == min(edges.values())
+        assert r["max_jaccard"] == max(edges.values())
+        # spanning connectivity: a cluster of n members needs >= n-1 edges
+        assert r["n_edges"] >= r["cluster_size"] - 1
