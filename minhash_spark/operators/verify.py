@@ -9,6 +9,16 @@ Two-tier (SURVEY §2.3 P6):
 
 Both tiers are Arrow-batched; the only per-pair Python is set intersection
 inside the pandas UDF on the (small) surviving candidate set.
+
+Fault tolerance: the intra-stage barriers below use ``localCheckpoint()``
+(executor-local blocks, lost on executor preemption). That is deliberate:
+the DURABLE unit of recovery is the whole edges stage — TableIO publishes
+it atomically with a manifest, so a preempted run replays at most one
+stage, never the pipeline. On heavily preemptible clusters, pass a reliable
+``spark.sparkContext.setCheckpointDir`` and swap ``localCheckpoint`` for
+``checkpoint`` — the plan shape is unchanged; local is the right default
+because reliable checkpoints pay an HDFS/object-store round-trip per
+barrier on EVERY healthy run.
 """
 
 from __future__ import annotations
