@@ -1,0 +1,107 @@
+"""Hypothesis property tests for the kernel: the vectorized batch paths must
+equal the pure-Python reference oracle on ARBITRARY unicode inputs, not just
+the hand-picked corpora of test_kernel.py. No Spark involved.
+
+Strategy notes: text() draws the full BMP + astral planes (surrogate pairs
+exercise the UTF-16 window path); sizes stay small (<= 8 seeds) because the
+oracle is an intentionally slow pure-Python murmur3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from minhash_spark import kernel, tokenize
+
+_token = st.text(min_size=0, max_size=12)
+_docs = st.lists(st.lists(_token, min_size=0, max_size=6), min_size=1, max_size=6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_docs, seed=st.integers(-(2**31), 2**31 - 1), bit=st.sampled_from([1, 2, 4]))
+def test_batch_kernel_equals_pure_python_oracle(docs, seed, bit):
+    size = 6
+    mins = kernel.minhash_mins(docs, seed=seed, size=size)
+    packed = kernel.pack_bbit(mins, bit=bit)
+    for i, toks in enumerate(docs):
+        assert (
+            packed[i].tobytes()
+            == kernel.minhash_signature_oracle(toks, seed, size, bit)
+        ), (toks, seed, bit)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    toks=st.lists(_token, min_size=1, max_size=8),
+    seed=st.integers(-(2**31), 2**31 - 1),
+    data=st.data(),
+)
+def test_minhash_is_order_and_multiplicity_invariant(toks, seed, data):
+    shuffled = data.draw(st.permutations(toks))
+    dup = shuffled + [shuffled[0]]
+    a = kernel.minhash_mins([toks], seed=seed, size=8)
+    b = kernel.minhash_mins([dup], seed=seed, size=8)
+    assert (a == b).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(text=st.text(min_size=0, max_size=40), seed=st.integers(0, 2**20))
+def test_char_shingle_fast_path_equals_string_path(text, seed):
+    """The UTF-16-window fast path must equal hashing the materialized
+    shingle strings — including texts shorter than 8 UTF-16 units (the
+    zero-padded-block regime) and astral-plane text. BMP-only guard does not
+    apply: char_shingles operates on code points, the window path on code
+    units, so only compare when they agree (no astral chars)."""
+    if any(ord(c) > 0xFFFF for c in text):
+        norm = " ".join(text.split())
+        text = "".join(c for c in norm if ord(c) <= 0xFFFF)
+    fast = kernel.minhash_mins_char_shingle([text], k=9, seed=seed, size=6)
+    slow = kernel.minhash_mins([tokenize.char_shingles(text, 9)], seed=seed, size=6)
+    assert (fast == slow).all(), repr(text)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    toks_a=st.lists(_token, min_size=1, max_size=8),
+    toks_b=st.lists(_token, min_size=1, max_size=8),
+    bit=st.sampled_from([1, 2]),
+)
+def test_compare_is_reflexive_symmetric_bounded(toks_a, toks_b, bit):
+    size = 8
+    mins = kernel.minhash_mins([toks_a, toks_b], seed=0, size=size)
+    packed = kernel.pack_bbit(mins, bit=bit)
+    a, b = packed[0].tobytes(), packed[1].tobytes()
+    assert kernel.compare(a, a) == 1.0
+    assert kernel.compare(a, b) == kernel.compare(b, a)
+    assert 0.0 <= kernel.compare(a, b) <= 1.0
+    if toks_a and set(toks_a) == set(toks_b):
+        assert kernel.compare(a, b) == 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    mins=st.lists(
+        st.lists(st.integers(-(2**63), 2**63 - 1), min_size=4, max_size=4),
+        min_size=1,
+        max_size=4,
+    ),
+    bit=st.sampled_from([1, 2, 4, 8]),
+)
+def test_pack_bbit_roundtrips_low_bits(mins, bit):
+    """pack_bbit is exactly 'low b bits of each minimum, LSB-first BitSet':
+    unpacking the bytes recovers mins mod 2^bit."""
+    arr = np.array(mins, dtype=np.int64)
+    packed = kernel.pack_bbit(arr, bit=bit)
+    n, size = arr.shape
+    for i in range(n):
+        bits = np.unpackbits(
+            np.frombuffer(packed[i].tobytes(), dtype=np.uint8), bitorder="little"
+        )
+        for j in range(size):
+            want = int(arr[i, j]) & ((1 << bit) - 1)
+            got = 0
+            for k in range(bit):
+                got |= int(bits[j * bit + k]) << k
+            assert got == want
