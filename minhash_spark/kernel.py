@@ -276,15 +276,24 @@ def _factorize_tokens(docs_tokens: list[list[str]]) -> tuple[list[str], np.ndarr
         return [], np.empty(0, dtype=np.int64), counts
     try:
         import pandas as pd
-
+    except ImportError:  # pragma: no cover
+        pd = None
+    # pandas routes all-str object arrays through its C StringHashTable,
+    # which hashes values as NUL-terminated C strings: '' vs '\x00' and
+    # 'a\x00b' vs 'a\x00c' collapse to ONE id (found by hypothesis,
+    # tests/test_kernel_properties.py). Injectivity is load-bearing — the
+    # signature minima and the verify path's set-algebra-over-ids both
+    # assume id equality == string equality — so NUL-bearing batches
+    # (binary-ish source files) take the exact dict path; the memchr scan
+    # deciding the route is negligible next to the murmur fold.
+    if pd is not None and not any("\x00" in t for t in flat):
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
         return list(uniques), codes.astype(np.int64), counts
-    except ImportError:  # pragma: no cover
-        vocab: dict[str, int] = {}
-        codes = np.empty(len(flat), dtype=np.int64)
-        for i, t in enumerate(flat):
-            codes[i] = vocab.setdefault(t, len(vocab))
-        return list(vocab.keys()), codes, counts
+    vocab: dict[str, int] = {}
+    codes = np.empty(len(flat), dtype=np.int64)
+    for i, t in enumerate(flat):
+        codes[i] = vocab.setdefault(t, len(vocab))
+    return list(vocab.keys()), codes, counts
 
 
 def minhash_mins(

@@ -518,3 +518,18 @@ def test_word_delimiter_filter_identifier_splitting():
                       tokenizer_params={"filters": ["word_delimiter"]})
     b = MinHashConfig(tokenizer="word")
     assert a.config_hash() != b.config_hash()
+
+
+def test_factorize_injective_on_embedded_nul():
+    """pandas' StringHashTable hashes object-dtype strings as NUL-terminated
+    C strings, collapsing '' / '\\x00' and 'a\\x00b' / 'a\\x00c' to one id —
+    which silently corrupted signatures of NUL-bearing (binary-ish) files.
+    Found by hypothesis; pinned here explicitly."""
+    docs = [["", "\x00"], ["a\x00b", "a\x00c", "a"], ["a"]]
+    uniq, tok_ids, counts = kernel._factorize_tokens(docs)
+    assert len(uniq) == 5  # all five distinct strings survive
+    # and the signature equals the pure-Python oracle per doc
+    mins = kernel.minhash_mins(docs, seed=0, size=6)
+    packed = kernel.pack_bbit(mins, bit=1)
+    for i, toks in enumerate(docs):
+        assert packed[i].tobytes() == kernel.minhash_signature_oracle(toks, 0, 6, 1)
