@@ -105,3 +105,53 @@ def test_pack_bbit_roundtrips_low_bits(mins, bit):
             for k in range(bit):
                 got |= int(bits[j * bit + k]) << k
             assert got == want
+
+
+def _naive_oph(tokens: list[str], size: int, seed: int) -> list[int]:
+    """Per-doc reference for the OPH contract (_oph_from_pairs docstring):
+    token hashed once (seed-0 murmur h1), high bits pick a bin, per-bin
+    signed min, empty bins filled by circular backward borrowing with the
+    offset-mix. Pure Python, one doc at a time."""
+    LONG_MAX = (1 << 63) - 1
+    M = np.uint64(0xA24BAED4963EE407)
+    mins = [LONG_MAX] * size
+    for tok in set(tokens):
+        h = kernel.murmur3_x64_128_h1(tok.encode("utf-16-le"), 0)
+        u = np.array(h, dtype=np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            if seed:
+                u = kernel._fmix64(u ^ np.array(seed, dtype=np.int64).view(np.uint64))
+            b = int((int(u) >> 32) * size >> 32)
+            v = int(kernel._fmix64(u).view(np.int64))
+        mins[b] = min(mins[b], v)
+    # a bin is 'filled' iff its min moved off LONG_MAX — the exact semantics
+    # of the vectorized path's `filled = mins != LONG_MAX`
+    filled = [m != LONG_MAX for m in mins]
+    if not any(filled):
+        return [LONG_MAX] * size
+    out = list(mins)
+    for j in range(size):
+        if filled[j]:
+            continue
+        d = next(d for d in range(1, size + 1) if filled[(j - d) % size])
+        borrowed = mins[(j - d) % size]
+        with np.errstate(over="ignore"):
+            out[j] = int(
+                kernel._fmix64(
+                    np.array(borrowed, dtype=np.int64).view(np.uint64)
+                    ^ (M * np.uint64(d + 1))
+                ).view(np.int64)
+            )
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(st.lists(_token, min_size=0, max_size=10), min_size=1, max_size=4),
+    seed=st.integers(-(2**31), 2**31 - 1),
+    size=st.sampled_from([4, 8]),
+)
+def test_oph_batch_equals_naive_reference(docs, seed, size):
+    got = kernel.oph_mins(docs, size=size, seed=seed)
+    for i, toks in enumerate(docs):
+        assert got[i].tolist() == _naive_oph(toks, size, seed), (toks, seed, size)
