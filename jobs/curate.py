@@ -50,6 +50,7 @@ def main():
     if args.shards_out and not args.shards_path:
         p.error("--shards-out requires --shards-path")
 
+    from minhash_spark.operators.curation import parse_license_allow
     from minhash_spark.plans.curate import CurationPipeline
     from minhash_spark.session import build_session
     from minhash_spark.sources.io import TableIO
@@ -70,9 +71,7 @@ def main():
         cfg,
         span_n=args.span_n,
         min_shared_spans=args.min_shared_spans,
-        license_allow=(
-            args.license_allow.split(",") if args.license_allow else None
-        ),
+        license_allow=parse_license_allow(args.license_allow),
     )
     final = pipe.run_curation(files, eval_files=eval_df)
 

@@ -51,6 +51,7 @@ def main():
     p.add_argument("--threshold", type=float, default=0.8)
     args = p.parse_args()
 
+    from minhash_spark.operators.curation import parse_license_allow
     from minhash_spark.session import build_session
     from minhash_spark.streaming.incremental import run_incremental_dedup
 
@@ -60,9 +61,7 @@ def main():
     run_incremental_dedup(
         spark, args.landing, args.state, args.checkpoint, cfg,
         maintain_clusters=args.clusters, curate=args.curate,
-        license_allow=(
-            args.license_allow.split(",") if args.license_allow else None
-        ),
+        license_allow=parse_license_allow(args.license_allow),
     )
 
     summary = {"config_hash": cfg.config_hash()}

@@ -103,6 +103,7 @@ class CurationPipeline(DedupPipeline):
                     "order": C.SECRET_REDACT_ORDER,
                     "license_allow": self.license_allow,
                     "license_markers": C.LICENSE_MARKERS,
+                    "spdx_pattern": C.SPDX_PATTERN,
                     "path_rules": [
                         C.VENDOR_DIR_MARKERS,
                         C.MINIFIED_SUFFIXES,

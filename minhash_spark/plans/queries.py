@@ -101,7 +101,10 @@ _EDGE_CACHE: dict = {}
 
 
 def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir, DOC_CFG.config_hash())
+    # applicationId is unique per SparkContext lifetime — unlike id(), it can
+    # never alias a new context after a stop/start and hand back a DataFrame
+    # whose checkpointed blocks died with the old executors
+    key = (spark.sparkContext.applicationId, sf_dir, DOC_CFG.config_hash())
     hit = _EDGE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -474,7 +477,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 10^9+ vectors raise bits-per-table so buckets stay bounded, and cap
     oversized buckets star-wise exactly like the MinHash LSH path.
     """
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     hit = _EMB_EDGE_CACHE.get(key)
     if hit is not None:
         return hit

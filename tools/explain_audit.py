@@ -25,7 +25,6 @@ AUDITED = [
     "exact_dup_clusters",
     "embedding_topk",
     "embedding_ann_lsh",
-    "embedding_near_dup_pairs",
     "token_counts",
     "multimodal_features",
     "embedding_ann_ivf",
@@ -47,6 +46,9 @@ AUDITED = [
     "secret_scan",
     "license_scan",
     "source_overlap",
+    # embedding_near_dup_pairs omitted since the shared-edge cache: it
+    # eagerly localCheckpoints, so the captured plan is a lineage-truncated
+    # Scan ExistingRDD (same reason as fingerprint_matches above)
     "event_funnel",
     "event_retention",
 ]
