@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_signatures": Q.q_multi_signatures,
         "simhash_near_dup_pairs": Q.q_simhash_near_dup_pairs,
         "char_ngram_dup_pairs": Q.q_char_ngram_dup_pairs,
+        "containment_dup_pairs": Q.q_containment_dup_pairs,
         "near_dup_cluster_sizes": Q.q_near_dup_cluster_sizes,
         "dedup_summary": Q.q_dedup_summary,
         "cluster_cohesion": Q.q_cluster_cohesion,
@@ -219,6 +220,35 @@ def oracle_sql() -> dict[str, str]:
               ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
         """,
         "near_dup_pairs": _NEAR_DUP_PAIRS_SQL,
+        # same shingle machinery + the containment branch: set containment
+        # over the same word-3-gram sets, with the normalized-substring
+        # witness (position() over ws-collapsed text — north rule)
+        "containment_dup_pairs": """
+            WITH t AS (
+              SELECT doc_id, text, regexp_extract_all(text, '[0-9A-Za-z_]+') AS w
+              FROM documents
+            ), d AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(list_transform(generate_series(1, len(w)-2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                     END AS toks,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+              FROM t
+            ), p AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     len(list_intersect(a.toks, b.toks))::DOUBLE
+                       / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard,
+                     len(list_intersect(a.toks, b.toks))::DOUBLE
+                       / least(len(a.toks), len(b.toks)) AS containment,
+                     CASE WHEN length(a.norm) <= length(b.norm)
+                          THEN position(a.norm IN b.norm) > 0
+                          ELSE position(b.norm IN a.norm) > 0 END AS substr
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+            )
+            SELECT a_id, b_id, jaccard, containment FROM p
+            WHERE jaccard >= 0.8 OR (containment >= 0.9 AND substr)
+        """,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
         "near_dup_cluster_sizes": f"""
             WITH clusters AS ({_NEAR_DUP_CLUSTERS_SQL}),
@@ -347,7 +377,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang,
                    count(*) AS n_docs,
                    sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
-                   round(avg(length(text)), 4) AS avg_chars
+                   sum(length(text))::DOUBLE / count(*) AS avg_chars
             FROM documents GROUP BY source, lang
         """,
         "cluster_representatives": f"""

@@ -82,12 +82,14 @@ def run_pipeline(spark, corpus_path: str) -> dict:
     # estimate. SPARK_GRAFT_BENCH_RUNS trims very long low-core legs.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", 3))
     best_wall, best_stage_walls, n_out = None, {}, 0
+    walls = []
     for _rep in range(n_runs):
         shutil.rmtree(ckpt, ignore_errors=True)
         t0 = time.time()
         pipe = DedupPipeline(spark, TableIO(ckpt), cfg)
         out = pipe.run(files)
         wall = time.time() - t0
+        walls.append(round(wall, 2))
         io = TableIO(ckpt)
         n_out = io.manifest("clusters_all")["rows"]
         if best_wall is None or wall < best_wall:
@@ -110,6 +112,7 @@ def run_pipeline(spark, corpus_path: str) -> dict:
         "stage_walls": best_stage_walls,
         "scheme": cfg.scheme,
         "runs": n_runs,
+        "walls": walls,
     }
 
 
@@ -134,23 +137,41 @@ def main():
 
     from minhash_spark.plans import queries as Q
 
-    timings: dict[str, float] = {}
+    # per-query: N in-process runs (default 2), recorded as
+    # {"min": best_wall, "runs": [w1, w2, ...]}. The sandbox's timing noise
+    # is +-50% on identical stages, so a single-shot wall is not comparable
+    # round-to-round; min-of-N plus the raw walls makes any outlier
+    # diagnosable from the artifact alone. Caveat the artifact reader can see
+    # directly: queries backed by the session edge caches / localCheckpoint
+    # (near_dup_*, embedding_near_dup_*, cluster_*) run warm after their
+    # first wall — w1 is the cold-in-suite-order cost, min is the warm rerun.
+    # The headline "value" therefore sums FIRST-run walls (same semantics as
+    # rounds 1-2); "value_min" sums the mins.
+    n_query_runs = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", 2)))
+    timings: dict[str, dict] = {}
 
     def timed(name, fn):
         # noop sink, NOT .count(): count() lets Catalyst prune deterministic
         # UDF columns entirely (a signature query would time only the scan);
         # the noop write materializes every output column.
-        t0 = time.time()
-        fn().write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 2)
+        walls = []
+        for _ in range(n_query_runs):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            walls.append(round(time.time() - t0, 2))
+        timings[name] = {"min": min(walls), "runs": walls}
 
     pipe_res = run_pipeline(spark, corpus_path)
-    timings["dedup_pipeline_planted"] = pipe_res["wall_s"]
+    timings["dedup_pipeline_planted"] = {
+        "min": pipe_res["wall_s"],
+        "runs": pipe_res["walls"],
+    }
 
     timed("near_dup_pairs_docs", lambda: Q.q_near_dup_pairs(spark, sf_dir))
     timed("near_dup_clusters_docs", lambda: Q.q_near_dup_clusters(spark, sf_dir))
     timed("cluster_cohesion_docs", lambda: Q.q_cluster_cohesion(spark, sf_dir))
     timed("char_ngram_dup_pairs_docs", lambda: Q.q_char_ngram_dup_pairs(spark, sf_dir))
+    timed("containment_dup_pairs_docs", lambda: Q.q_containment_dup_pairs(spark, sf_dir))
     timed("exact_dup_clusters_docs", lambda: Q.q_exact_dup_clusters(spark, sf_dir))
     timed("minhash_signatures_docs", lambda: Q.q_minhash_signatures(spark, sf_dir))
     timed("simhash_pairs_docs", lambda: Q.q_simhash_near_dup_pairs(spark, sf_dir))
@@ -184,13 +205,16 @@ def main():
     timed("tfidf_top_terms_docs", lambda: Q.q_tfidf_top_terms(spark, sf_dir))
     timed("lm_scores_docs", lambda: Q.q_lm_scores(spark, sf_dir))
 
-    total = round(sum(timings.values()), 2)
+    total_first = round(sum(t["runs"][0] for t in timings.values()), 2)
+    total_min = round(sum(t["min"] for t in timings.values()), 2)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": total_first,
+                "value_min": total_min,
                 "unit": "sec",
+                "query_runs_per_query": n_query_runs,
                 "queries": timings,
                 "sf": sf_dir,
                 "pipeline": pipe_res,

@@ -31,15 +31,20 @@ def explode_buckets(signatures: DataFrame) -> DataFrame:
     )
 
 
-def bucket_stats(buckets: DataFrame) -> DataFrame:
-    return buckets.groupBy("band_hash").agg(F.count("*").alias("bucket_size"))
+def bucket_stats(buckets: DataFrame, key_col: str = "band_hash") -> DataFrame:
+    return buckets.groupBy(key_col).agg(F.count("*").alias("bucket_size"))
 
 
 def candidate_pairs(
     buckets: DataFrame,
     max_bucket_size: int,
+    key_col: str = "band_hash",
+    id_col: str = "rep_id",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (pairs, overflow_stats).
+
+    Key-generic (``key_col``/``id_col``): the same skew-managed topology
+    serves MinHash bands, SimHash bands, and embedding hyperplane buckets.
 
     pairs: distinct (a_id, b_id), a_id < b_id.
       * buckets <= ``max_bucket_size``: all intra-bucket pairs via native
@@ -52,25 +57,28 @@ def candidate_pairs(
         (cheap) failed verifications of noise-bucket star edges replace the
         (quadratic) ones. Nothing is silently dropped; star buckets are
         reported in overflow_stats.
-    overflow_stats: (band_hash, bucket_size) of buckets handled as stars.
+    overflow_stats: (key_col, bucket_size) of buckets handled as stars.
     """
-    sizes = bucket_stats(buckets)
+    sizes = bucket_stats(buckets, key_col)
     overflow = sizes.where(F.col("bucket_size") > max_bucket_size)
-    over_keys = F.broadcast(overflow.select("band_hash"))
-    ok = buckets.join(over_keys, "band_hash", "left_anti")
+    over_keys = F.broadcast(overflow.select(key_col))
+    ok = buckets.join(over_keys, key_col, "left_anti")
     a = ok.alias("a")
     b = ok.alias("b")
     pairs_small = (
-        a.join(b, on="band_hash")
-        .where(F.col("a.rep_id") < F.col("b.rep_id"))
-        .select(F.col("a.rep_id").alias("a_id"), F.col("b.rep_id").alias("b_id"))
+        a.join(b, on=key_col)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
     )
-    big = buckets.join(over_keys, "band_hash", "left_semi")
-    reps = big.groupBy("band_hash").agg(F.min("rep_id").alias("rep"))
+    big = buckets.join(over_keys, key_col, "left_semi")
+    reps = big.groupBy(key_col).agg(F.min(id_col).alias("rep"))
     pairs_star = (
-        big.join(reps, "band_hash")
-        .where(F.col("rep_id") != F.col("rep"))
-        .select(F.col("rep").alias("a_id"), F.col("rep_id").alias("b_id"))
+        big.join(reps, key_col)
+        .where(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("a_id"), F.col(id_col).alias("b_id"))
     )
     pairs = pairs_small.unionByName(pairs_star).dropDuplicates(["a_id", "b_id"])
     return pairs, overflow

@@ -174,11 +174,17 @@ class CurationPipeline(DedupPipeline):
             return redacted, metrics
 
         # the filter_hash guards this stage; swap self.chash temporarily so
-        # the inherited _run_stage stamps the right identity
+        # the inherited _run_stage stamps the right identity. try/finally: a
+        # stage failure must not leave the pipeline object carrying the wrong
+        # config identity — a caller that catches and retries (or reuses the
+        # pipeline) would otherwise stamp/resume stages under a mismatched
+        # hash.
         base_hash = self.chash
         self.chash = self.filter_hash
-        filtered = self._run_stage(self.T_FILTERED, [], build_filtered, root=True)
-        self.chash = base_hash
+        try:
+            filtered = self._run_stage(self.T_FILTERED, [], build_filtered, root=True)
+        finally:
+            self.chash = base_hash
         self._input_fp = raw_fp  # restore: dedup roots on the raw input too
 
         filtered_fp = (self.io.manifest(self.T_FILTERED) or {}).get("snapshot_id")
@@ -256,8 +262,10 @@ class CurationPipeline(DedupPipeline):
             return out, {"n_contaminated": int(n_hits)}
 
         self.chash = self.decontam_hash
-        decontam = self._run_stage(
-            self.T_DECONTAM, [self.T_CURATED], build_decontam
-        )
-        self.chash = base_hash
+        try:
+            decontam = self._run_stage(
+                self.T_DECONTAM, [self.T_CURATED], build_decontam
+            )
+        finally:
+            self.chash = base_hash
         return decontam

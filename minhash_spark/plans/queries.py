@@ -50,6 +50,16 @@ DOC_CFG = MinHashConfig(
     sig_prefilter_margin=0.3,
 )
 
+# Star-cap thresholds for the non-MinHash candidate self-joins. A bucket
+# above the cap emits O(n) star edges through its min-id member instead of
+# O(n^2) pairs (lsh.candidate_pairs) — dense SemDeDup regions and degenerate
+# simhash buckets (empty/boilerplate docs share one 64-bit simhash, hence all
+# four band values) are exactly the inputs that otherwise go quadratic.
+# Far above anything the sandbox corpora produce, so driver results are
+# byte-identical; binding only at scale.
+EMB_MAX_BUCKET_SIZE = int(os.environ.get("SPARK_GRAFT_EMB_MAX_BUCKET", "2000"))
+SIMHASH_MAX_BUCKET_SIZE = int(os.environ.get("SPARK_GRAFT_SIMHASH_MAX_BUCKET", "2000"))
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for"]
 LANG_MARKERS = {
     "en": ["the", "and"],
@@ -209,34 +219,35 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-computable -> rows-only."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     sh = simhash_udf(DOC_CFG)
-    s = docs.select("doc_id", sh(F.col("text")).alias("simhash"))
+    # simhash per doc is tiny (id + one long); localCheckpoint so the kernel
+    # runs once — it feeds both the band explode and the per-side join-back
+    s = docs.select("doc_id", sh(F.col("text")).alias("simhash")).localCheckpoint()
+    # band index folded into one long key (idx*2^16 + 16-bit band value) so a
+    # single long column shuffles — same trick as the MinHash band_hash
     bands = s.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
-                    )
+                    (
+                        F.lit(i << 16)
+                        + F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    ).alias(f"b{i}")
                     for i in range(4)
                 ]
             )
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
+        ).alias("band_key"),
+    )
+    # star-capped candidate generation: degenerate corpora (empty/boilerplate
+    # docs -> one simhash -> 4 identical band values) otherwise create a
+    # single quadratic bucket; the cap keeps them O(n) (VERDICT r2 item 4)
+    cand, _overflow = lsh.candidate_pairs(
+        bands, SIMHASH_MAX_BUCKET_SIZE, key_col="band_key", id_col="doc_id"
+    )
+    cand = cand.join(
+        s.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a")), "a_id"
+    ).join(
+        s.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b")), "b_id"
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     near = cand.withColumn("hamming", hamming).where(F.col("hamming") <= 3)
@@ -249,6 +260,75 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac(F.col("content_a"), F.col("content_b")))
         .where(F.col("jaccard") >= 0.8)
         .select("a_id", "b_id", "hamming", "jaccard")
+    )
+
+
+def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-aware near-dup pairs (north rule's embedded-file case):
+    accept a pair when exact word-3-gram Jaccard >= 0.8 OR (shingle-set
+    containment |A∩B|/min(|A|,|B|) >= 0.9 AND the whitespace-normalized text
+    of the shorter doc is an exact substring of the longer — the substring
+    witness that kills shuffled-shingle false positives).
+
+    Candidates are the UNION of two generators, each covering one branch:
+      * MinHash LSH bands (recall ~1 for the Jaccard branch — P(miss) <=
+        (1-0.8^4)^32 per pair at threshold);
+      * winnowing-fingerprint sharing (df-capped) — a verbatim embedded span
+        >= w+k-1 chars shares a fingerprint by the winnowing guarantee, which
+        is exactly the recall contract the LSH bands CANNOT give a contained
+        doc whose global Jaccard is low.
+    Verification runs the real P6 operator (verify.verify_pairs) with
+    containment_threshold + substring_verify set; with containment enabled
+    the signature prefilter is bypassed (a contained doc's bit-match is
+    uninformative), so every candidate is exact-verified — the df cap keeps
+    that candidate set linear at scale."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ccfg = MinHashConfig(
+        seed=0,
+        size=128,
+        bit=1,
+        tokenizer="word_shingle",
+        tokenizer_params={"n": 3},
+        num_bands=32,
+        rows_per_band=4,
+        verify_threshold=0.8,
+        containment_threshold=0.9,
+        substring_verify=True,
+    )
+    from minhash_spark.functions.udfs import minhash_struct_udf
+
+    sig = minhash_struct_udf(ccfg)
+    sigs = (
+        docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
+        .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
+        .localCheckpoint()
+    )
+    lsh_pairs, _ = lsh.candidate_pairs(
+        lsh.explode_buckets(sigs), ccfg.max_bucket_size
+    )
+    # fingerprint-sharing candidates: same df-capped winnowing table as
+    # q_fingerprint_matches, threshold 1 shared fingerprint (verification is
+    # the filter; the df cap is what bounds pair volume)
+    fp = _fingerprint_udf()
+    fps = docs.select(
+        F.col("doc_id").alias("rep_id"), F.explode(fp(F.col("text"))).alias("f")
+    ).localCheckpoint()
+    fdf = fps.groupBy("f").agg(F.count("*").alias("df")).where(F.col("df") <= FP_MAX_DF)
+    fps = fps.join(fdf.select("f"), "f", "left_semi")
+    fp_pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), "f")
+        .where(F.col("a.rep_id") < F.col("b.rep_id"))
+        .select(F.col("a.rep_id").alias("a_id"), F.col("b.rep_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = lsh_pairs.unionByName(fp_pairs).dropDuplicates(["a_id", "b_id"])
+    contents = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("content"))
+    return verify.verify_pairs(cand, sigs, contents, ccfg).select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        "jaccard",
+        "containment",
     )
 
 
@@ -473,9 +553,12 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Measured candidate recall at tau=0.45 is 1.0 on every SF (per-pair miss
     probability (1-p^4)^32 ~ 2e-3 at p=0.649), so the brute-force SQL oracle
-    is exact. Scale shape: bucket self-join (equi-join, AQE skew-eligible);
-    at 10^9+ vectors raise bits-per-table so buckets stay bounded, and cap
-    oversized buckets star-wise exactly like the MinHash LSH path.
+    is exact. Scale shape: bucket self-join (equi-join, AQE skew-eligible)
+    through the SAME star-capped ``lsh.candidate_pairs`` topology as the
+    MinHash path — a dense SemDeDup region (10^5-member bucket) emits O(n)
+    star candidates through its min-id representative instead of O(n^2),
+    and oversized buckets are counted, never silently dropped. At 10^9+
+    vectors additionally raise bits-per-table so typical buckets stay small.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _EMB_EDGE_CACHE.get(key)
@@ -491,15 +574,8 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double vectors through this shuffle would be ~60x the bytes; the
     # vectors are joined back once per DISTINCT pair (AQE turns these into
     # broadcasts at small scale; at 10^9 vectors they are sane equi-joins)
-    cand = (
-        b.alias("a")
-        .join(b.alias("c"), "bucket")
-        .where(F.col("a.vec_id") < F.col("c.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("c.vec_id").alias("b_id"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
+    cand, _overflow = lsh.candidate_pairs(
+        b, EMB_MAX_BUCKET_SIZE, key_col="bucket", id_col="vec_id"
     )
     scored = (
         cand.join(emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")), "a_id")
@@ -611,7 +687,12 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum(n_tokens).cast("long").alias("total_tokens"),
-            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+            # Exact integer sum / exact integer count, one IEEE double
+            # division: bit-identical regardless of partition order (unlike
+            # F.avg over ints, which sums as double in partition order and
+            # can flip the last ulp run-to-run — the round-2 hash flake).
+            (F.sum(F.length("text")).cast("double") / F.count("*"))
+            .alias("avg_chars"),
         )
     )
 
@@ -1091,6 +1172,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELLS = 16  # k-means coarse centroids (nlist)
 IVF_NPROBE = 4  # cells probed per query
 IVF_SAMPLE_MOD = 4  # train on ~1/4 of vectors (hash-sampled, deterministic)
+IVF_TRAIN_CAP = 100_000  # hard cap on driver-collected training rows (~50 MB)
 IVF_KMEANS_ITERS = 10
 
 
@@ -1115,14 +1197,18 @@ def _spherical_kmeans(X: "np.ndarray", k: int, iters: int, seed: int) -> "np.nda
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "np.ndarray":
     """Train the coarse quantizer on a DETERMINISTIC hash-sample of the
-    corpus. The collect is bounded by the sample mod (at 10^12 vectors the
-    mod is raised so the sample stays ~10^5 rows — quantizer quality needs a
-    fixed-size sample, not the corpus); 10 numpy iterations on the driver
-    replace an iterative distributed k-means, which would be 10 full-corpus
-    shuffles for no accuracy gain."""
+    corpus, HARD-CAPPED at ``IVF_TRAIN_CAP`` rows: the mod filter thins the
+    sort input, then the IVF_TRAIN_CAP lowest-xxhash64 rows are kept
+    (TakeOrderedAndProject — no full sort shuffle), so the driver-side
+    training set is truly fixed-size no matter the corpus (a bare 1/mod
+    sample grows linearly and OOMs the driver at 10^9+ vectors). 10 numpy
+    iterations on the driver replace an iterative distributed k-means, which
+    would be 10 full-corpus shuffles for no accuracy gain."""
     emb = load(spark, sf_dir, "embeddings")
     sample = (
         emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(IVF_SAMPLE_MOD)) == 0)
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(IVF_TRAIN_CAP)
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .collect()
     )

@@ -50,9 +50,13 @@ def search_signatures(
     scored = cand.select(
         "rep_id", bitmatch(F.col("sig"), F.lit(bytearray(qsig))).alias("bit_match")
     )
-    q = 2.0 ** (-bit)
+    # invert E[per-bit match] = J + (1-J)/2 => J = 2p - 1 (clamped), same as
+    # kernel.estimate_jaccard: compare() measures PER-BIT equality whose
+    # baseline is 1/2 at EVERY bit width (2^-bit is the per-BLOCK collision
+    # rate — a different statistic; using it overestimated est_jaccard for
+    # bit > 1 indexes, ranking unaffected)
     est = F.greatest(
-        F.lit(0.0), F.least(F.lit(1.0), (F.col("bit_match") - q) / (1.0 - q))
+        F.lit(0.0), F.least(F.lit(1.0), 2.0 * F.col("bit_match") - 1.0)
     )
     return (
         scored.orderBy(F.desc("bit_match"), F.asc("rep_id"))

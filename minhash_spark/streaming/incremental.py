@@ -25,6 +25,26 @@ from minhash_spark.config import MinHashConfig
 from minhash_spark.functions.udfs import minhash_struct_udf
 from minhash_spark.operators import verify
 
+def _history_partitions_exist(spark: SparkSession, sig_dir: str) -> bool:
+    """True iff ``sig_dir`` exists and holds >= 1 ``batch_id=`` partition.
+
+    Probes through the Hadoop FileSystem API (resolved from the path's own
+    scheme), not os.listdir: with an HDFS/S3 state_dir a local listing sees
+    nothing, history would silently be treated as absent, and new-vs-history
+    edges would be permanently skipped. Path-not-found is the only condition
+    treated as "no history"; any other error propagates and fails the batch
+    (at-least-once replay retries it)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(sig_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    return any(
+        st.getPath().getName().startswith("batch_id=")
+        for st in fs.listStatus(path)
+    )
+
+
 FILES_SCHEMA = T.StructType(
     [
         T.StructField("repo", T.StringType()),
@@ -153,36 +173,49 @@ def run_incremental_dedup(
             F.col("file_id").alias("rep_id"), "content", "content_sha256", "sig", "bands"
         )
         # history = previously committed batches ONLY. Two deliberate choices:
-        # (a) missing-dir check instead of a bare except — a transient read
-        #     error must FAIL the batch (swallowing it would verify new docs
-        #     only against each other and permanently lose new-vs-history
-        #     edges once the batch commits);
+        # (a) Hadoop-FS existence probe instead of a bare except — a transient
+        #     read error must FAIL the batch (swallowing it would verify new
+        #     docs only against each other and permanently lose
+        #     new-vs-history edges once the batch commits), and the probe
+        #     works for remote state roots (HDFS/S3), not just local paths;
         # (b) exclude THIS batch_id — foreachBatch is at-least-once, and on
         #     replay the crashed attempt's own partition is already on disk;
         #     including it duplicates every rep_id in `union` and fans out
         #     the verify joins.
         hist = None
-        if os.path.isdir(sig_dir) and any(
-            e.startswith("batch_id=") for e in os.listdir(sig_dir)
-        ):
+        if _history_partitions_exist(spark, sig_dir):
             hist = (
                 spark.read.parquet(sig_dir)
                 .where(F.col("batch_id") != batch_id)
                 .select("rep_id", "content", "sig", "bands")
             )
-        union = new_sigs.select("rep_id", "content", "sig", "bands")
+        union = new_sigs.select("rep_id", "content", "sig", "bands").withColumn(
+            "is_new", F.lit(True)
+        )
         if hist is not None:
-            union = union.unionByName(hist)
+            union = union.unionByName(hist.withColumn("is_new", F.lit(False)))
         new_buckets = new_sigs.select("rep_id", F.explode("bands").alias("band_hash"))
-        all_buckets = union.select("rep_id", F.explode("bands").alias("band_hash"))
+        all_buckets = union.select(
+            "rep_id", "is_new", F.explode("bands").alias("band_hash")
+        )
         # skew control, same policy as the batch path (lsh.candidate_pairs):
         # a boilerplate band accumulating m history members would otherwise
         # emit m pairs per new doc per batch — O(m^2) cumulative. Buckets at
         # or under the cap pair all-new-x-member; oversized buckets pair new
-        # docs with the bucket REPRESENTATIVE (min rep_id) only, preserving
-        # cluster connectivity through the star center.
+        # docs with the bucket REPRESENTATIVE only. The anchor is the
+        # HISTORY-side minimum when history members exist (falling back to
+        # the overall minimum for history-free buckets): rep_ids are hashes,
+        # so a NEW doc routinely displaces the overall minimum, and anchoring
+        # on it would connect new docs only to each other — new-vs-history
+        # edges through that bucket would be permanently lost. The history
+        # anchor keeps the chain intact across batches: every doc, when new,
+        # paired with the then-current history minimum, and the history
+        # minimum only ever moves to an id that was itself new (and thus
+        # already connected) in an earlier batch.
         bucket_stats = all_buckets.groupBy("band_hash").agg(
-            F.count("*").alias("bucket_size"), F.min("rep_id").alias("bucket_min")
+            F.count("*").alias("bucket_size"),
+            F.min(F.when(~F.col("is_new"), F.col("rep_id"))).alias("hist_min"),
+            F.min("rep_id").alias("all_min"),
         )
         small = all_buckets.join(
             bucket_stats.where(F.col("bucket_size") <= cfg.max_bucket_size).select("band_hash"),
@@ -198,16 +231,17 @@ def run_incremental_dedup(
                 F.greatest(F.col("a.rep_id"), F.col("b.rep_id")).alias("b_id"),
             )
         )
+        star_anchor = F.coalesce(F.col("hist_min"), F.col("all_min"))
         cand_star = (
             new_buckets.join(
                 bucket_stats.where(F.col("bucket_size") > cfg.max_bucket_size)
-                .select("band_hash", "bucket_min"),
+                .select("band_hash", star_anchor.alias("anchor")),
                 "band_hash",
             )
-            .where(F.col("rep_id") != F.col("bucket_min"))
+            .where(F.col("rep_id") != F.col("anchor"))
             .select(
-                F.least(F.col("rep_id"), F.col("bucket_min")).alias("a_id"),
-                F.greatest(F.col("rep_id"), F.col("bucket_min")).alias("b_id"),
+                F.least(F.col("rep_id"), F.col("anchor")).alias("a_id"),
+                F.greatest(F.col("rep_id"), F.col("anchor")).alias("b_id"),
             )
         )
         cand = cand_small.unionByName(cand_star).dropDuplicates(["a_id", "b_id"])

@@ -1,0 +1,84 @@
+"""Star-cap coverage for the non-MinHash candidate self-joins (VERDICT r2
+items 3-4): a dense/degenerate bucket must emit O(n) star candidates, not
+O(n^2) — planted corpora drive the embedding and simhash query paths through
+oversized buckets and assert the linear shape, plus the key-generic
+``lsh.candidate_pairs`` contract directly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minhash_spark.operators import lsh
+from minhash_spark.plans import queries as Q
+
+
+def test_candidate_pairs_generic_columns_star_cap(spark):
+    # one oversized bucket (ids 0..99 under key 7) + one small (200,201 under 8)
+    rows = [(7, i) for i in range(100)] + [(8, 200), (8, 201)]
+    buckets = spark.createDataFrame(rows, "bucket long, vec_id long")
+    pairs, overflow = lsh.candidate_pairs(
+        buckets, max_bucket_size=10, key_col="bucket", id_col="vec_id"
+    )
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    # star: every member of the big bucket pairs with its min id only
+    assert {(0, i) for i in range(1, 100)} <= got
+    assert (200, 201) in got
+    assert len(got) == 99 + 1  # O(n), not 100*99/2
+    over = overflow.collect()
+    assert len(over) == 1 and over[0]["bucket"] == 7 and over[0]["bucket_size"] == 100
+
+
+def _write_identical_docs(spark, path: str, n: int):
+    text = "lorem ipsum dolor sit amet consectetur adipiscing elit today"
+    spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    ).write.parquet(f"{path}/documents.parquet")
+
+
+def test_simhash_pairs_degenerate_bucket_is_linear(spark, tmp_path, monkeypatch):
+    """60 identical docs share one simhash -> all four band values collide.
+    Uncapped that is one quadratic bucket (1770 pairs); with the star cap the
+    same corpus yields exactly n-1 verified pairs through the min-id center."""
+    p = str(tmp_path / "sim")
+    _write_identical_docs(spark, p, 60)
+    monkeypatch.setattr(Q, "SIMHASH_MAX_BUCKET_SIZE", 10)
+    capped = Q.q_simhash_near_dup_pairs(spark, p).collect()
+    assert len(capped) == 59
+    assert all(r["a_id"] == 0 and r["hamming"] == 0 and r["jaccard"] == 1.0 for r in capped)
+    monkeypatch.setattr(Q, "SIMHASH_MAX_BUCKET_SIZE", 10_000)
+    uncapped = Q.q_simhash_near_dup_pairs(spark, p).collect()
+    assert len(uncapped) == 60 * 59 // 2
+
+
+def _write_identical_vecs(spark, path: str, n: int):
+    v = [float(i % 7 - 3) for i in range(64)]
+    spark.createDataFrame(
+        [(i, v) for i in range(n)], "vec_id long, embedding array<float>"
+    ).write.parquet(f"{path}/embeddings.parquet")
+
+
+def test_embedding_pairs_dense_bucket_is_linear(spark, tmp_path, monkeypatch):
+    """50 identical vectors land every hyperplane-LSH table in one bucket —
+    the SemDeDup dense-region case. Star cap => n-1 pairs; uncapped => n^2/2.
+    Distinct dirs per variant: the session edge cache keys on sf_dir."""
+    pa = str(tmp_path / "emb_a")
+    pb = str(tmp_path / "emb_b")
+    _write_identical_vecs(spark, pa, 50)
+    _write_identical_vecs(spark, pb, 50)
+    monkeypatch.setattr(Q, "EMB_MAX_BUCKET_SIZE", 10)
+    capped = Q.q_embedding_near_dup_pairs(spark, pa).collect()
+    assert len(capped) == 49
+    assert all(r["a_id"] == 0 and r["cos_sim"] == 1.0 for r in capped)
+    monkeypatch.setattr(Q, "EMB_MAX_BUCKET_SIZE", 10_000)
+    uncapped = Q.q_embedding_near_dup_pairs(spark, pb).collect()
+    assert len(uncapped) == 50 * 49 // 2
+
+
+def test_embedding_clusters_survive_star_cap(spark, tmp_path, monkeypatch):
+    """CC over star edges keeps the dense region one cluster."""
+    p = str(tmp_path / "embc")
+    _write_identical_vecs(spark, p, 30)
+    monkeypatch.setattr(Q, "EMB_MAX_BUCKET_SIZE", 5)
+    clusters = Q.q_embedding_near_dup_clusters(spark, p).collect()
+    assert len({r["cluster_id"] for r in clusters}) == 1

@@ -613,3 +613,39 @@ def test_cluster_cohesion_planted_chain(spark, tmp_path):
         assert r["max_jaccard"] == max(edges.values())
         # spanning connectivity: a cluster of n members needs >= n-1 edges
         assert r["n_edges"] >= r["cluster_size"] - 1
+
+
+def test_containment_pairs_planted(spark, tmp_path):
+    """q_containment_dup_pairs: the containment branch accepts a verbatim
+    embedded doc (low global Jaccard), the substring witness rejects a
+    shingles-subset-but-not-contiguous pair, and the Jaccard branch still
+    fires for ordinary near-dups."""
+    embedded = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa"
+    )
+    big = (
+        "zero one two three four " + embedded + " five six seven eight nine "
+        "ten eleven twelve thirteen fourteen fifteen sixteen seventeen "
+        "eighteen nineteen twenty twentyone twentytwo twentythree"
+    )
+    # shingles-subset trap: both of doc 20's shingles ("p1 p2 p3", "p2 p3 p4")
+    # occur in doc 21, but "p1 p2 p3 p4" is NOT contiguous there
+    small2 = "papaone papatwo papathree papafour"
+    big2 = (
+        "lead in words papaone papatwo papathree quorum middle filler words "
+        "bridge papatwo papathree papafour tail words here and more padding"
+    )
+    nd_a = "red orange yellow green blue indigo violet ultraviolet infrared xray gamma cosmic"
+    nd_b = "red orange yellow green blue indigo violet ultraviolet infrared xray gamma delta"
+    data = [(1, nd_a), (2, nd_b), (10, embedded), (11, big), (20, small2), (21, big2)]
+    p = str(tmp_path / "cont")
+    spark.createDataFrame(data, "doc_id long, text string").write.parquet(
+        f"{p}/documents.parquet"
+    )
+    got = {(r["a_id"], r["b_id"]): r for r in Q.q_containment_dup_pairs(spark, p).collect()}
+    assert (10, 11) in got, "verbatim embedded doc must be accepted via containment"
+    r = got[(10, 11)]
+    assert r["containment"] == 1.0 and r["jaccard"] < 0.8
+    assert (1, 2) in got and got[(1, 2)]["jaccard"] >= 0.8
+    assert (20, 21) not in got, "substring witness must reject shuffled-shingle pair"
