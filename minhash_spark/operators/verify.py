@@ -14,11 +14,12 @@ Fault tolerance: the intra-stage barriers below use ``localCheckpoint()``
 (executor-local blocks, lost on executor preemption). That is deliberate:
 the DURABLE unit of recovery is the whole edges stage — TableIO publishes
 it atomically with a manifest, so a preempted run replays at most one
-stage, never the pipeline. On heavily preemptible clusters, pass a reliable
-``spark.sparkContext.setCheckpointDir`` and swap ``localCheckpoint`` for
-``checkpoint`` — the plan shape is unchanged; local is the right default
-because reliable checkpoints pay an HDFS/object-store round-trip per
-barrier on EVERY healthy run.
+stage, never the pipeline. On heavily preemptible clusters, set
+``spark.minhash.reliableBarriers=true`` on the session (plus
+``sparkContext.setCheckpointDir``) and the barriers below become reliable
+``checkpoint()`` calls — the plan shape is unchanged (pytest-pinned); local
+is the right default because reliable checkpoints pay an HDFS/object-store
+round-trip per barrier on EVERY healthy run.
 """
 
 from __future__ import annotations
@@ -32,6 +33,23 @@ from minhash_spark.functions.udfs import sig_bitmatch_udf, similarity_udf
 # max verify pairs sharing one (a_id, salt) task-group; above this the group
 # is hash-split so a giant star bucket cannot starve the exact-Jaccard stage
 _VERIFY_GROUP_CAP = 1024
+
+# session conf key: set to "true" (with sparkContext.setCheckpointDir) to
+# swap the intra-stage localCheckpoint barriers for RELIABLE checkpoints on
+# preemption-heavy clusters — the documented knob from the module docstring
+RELIABLE_BARRIERS_CONF = "spark.minhash.reliableBarriers"
+
+
+def barrier(df: DataFrame) -> DataFrame:
+    """Intra-stage materialization barrier. ``localCheckpoint()`` by default
+    (executor-local blocks — right for healthy clusters, no object-store
+    round-trip); when ``spark.minhash.reliableBarriers=true`` is set on the
+    session (plus ``setCheckpointDir``), uses ``checkpoint()`` so a preempted
+    executor replays nothing. The plan shape downstream is identical either
+    way (pytest-pinned)."""
+    if df.sparkSession.conf.get(RELIABLE_BARRIERS_CONF, "false") == "true":
+        return df.checkpoint()
+    return df.localCheckpoint()
 
 
 def verify_pairs(
@@ -69,18 +87,17 @@ def verify_pairs(
     # stops the bucket-stats broadcast subquery re-running inside the big
     # verify job and gives AQE exact sizes to plan the downstream signature
     # joins as broadcasts
-    pairs = pairs.localCheckpoint()
+    pairs = barrier(pairs)
     joined = pairs.join(
         sigs.select(F.col("rep_id").alias("a_id"), F.col("sig").alias("sig_a")), "a_id"
     ).join(sigs.select(F.col("rep_id").alias("b_id"), F.col("sig").alias("sig_b")), "b_id")
     # survivors feed THREE downstream references (the id semi-join union uses
     # it twice, the content join once): materialize once or the signature
     # join + bitmatch UDF subtree re-executes per reference
-    survivors = (
+    survivors = barrier(
         joined.withColumn("bit_match", bitmatch(F.col("sig_a"), F.col("sig_b")))
         .where(F.col("bit_match") >= F.lit(p_min))
         .select("a_id", "b_id")
-        .localCheckpoint()
     )
     # survivors reference only a small fraction of the corpus; a semi-join on
     # the candidate id set keeps NON-candidate content out of the two content

@@ -174,10 +174,41 @@ class TableIO:
         }
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        self._publish(tmp, final)
         return manifest
+
+    def _publish(self, tmp: str, final: str) -> None:
+        """Atomic last-writer-wins swap, safe under CONCURRENT writers.
+
+        The previous snapshot is renamed ASIDE (atomic) rather than rmtree'd
+        in place, so a reader never observes a half-deleted table: at every
+        instant ``final`` is either a complete old snapshot, absent for the
+        nanoseconds between two renames, or a complete new snapshot. Two
+        racing writers both publish a complete snapshot; one of them wins
+        (exactly one rename into ``final`` succeeds last), the loser's
+        snapshot is retired like any old one. Mirrors an Iceberg
+        commit-retry loop at filesystem granularity."""
+        for _ in range(16):
+            try:
+                os.rename(tmp, final)
+                break
+            except OSError:
+                # final exists (or reappeared): retire it aside atomically,
+                # then retry; a concurrent writer may have already moved it
+                aside = final + ".old-" + uuid.uuid4().hex[:8]
+                try:
+                    os.rename(final, aside)
+                except FileNotFoundError:
+                    continue
+                shutil.rmtree(aside, ignore_errors=True)
+        else:  # pragma: no cover
+            raise OSError(f"could not publish {final} after 16 attempts")
+        # retire any snapshot a racing writer left aside
+        parent = os.path.dirname(final) or "."
+        base = os.path.basename(final) + ".old-"
+        for e in os.listdir(parent):
+            if e.startswith(base):
+                shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.path(name))

@@ -40,17 +40,84 @@ _STANDARD_RE = re.compile(
 )
 
 
+# Lucene StandardTokenizer default (StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH);
+# longer runs are split at this interval, matching the scanner's behavior.
+STANDARD_MAX_TOKEN_LENGTH = 255
+
+_WB4_RE = None
+
+
+def _collapse_ranges(cps: list[int]) -> str:
+    out = []
+    i = 0
+    while i < len(cps):
+        j = i
+        while j + 1 < len(cps) and cps[j + 1] == cps[j] + 1:
+            j += 1
+        a, b = cps[i], cps[j]
+        enc = lambda c: f"\\U{c:08x}" if c > 0xFFFF else f"\\u{c:04x}"  # noqa: E731
+        out.append(enc(a) if a == b else f"{enc(a)}-{enc(b)}")
+        i = j + 1
+    return "".join(out)
+
+
+def _wb4_standard_re():
+    """UAX#29 WB4-aware variant of _STANDARD_RE: Extend (Mn/Mc/Me: combining
+    marks) and Format (Cf: ZWJ/ZWNJ, soft hyphen, bidi controls, BOM)
+    codepoints are TRANSPARENT inside a word run -- "cafe\u0301" or
+    "ab<ZWJ>cd" stay single tokens (marks kept in the token text, as
+    Lucene's standard tokenizer keeps them) instead of splitting at the
+    mark. A token still cannot START with an Extend/Format char (a lone
+    mark is not a word). Built lazily once per process: the class
+    enumeration walks the full codepoint space (~0.3 s) and is cached."""
+    global _WB4_RE
+    if _WB4_RE is None:
+        import sys as _sys
+        import unicodedata as _ud
+
+        cps = [
+            cp
+            for cp in range(_sys.maxunicode + 1)
+            if _ud.category(chr(cp)) in ("Mn", "Mc", "Me", "Cf")
+        ]
+        ext = _collapse_ranges(cps)
+        # same alternation as _STANDARD_RE, with the word-run arms widened
+        cjk, kata, hira, _ = _STANDARD_RE.pattern.split("|", 3)
+        word = (
+            rf"\w[\w{ext}]*"
+            rf"(?:(?:['\u2019](?=[^\W\d_])|(?<=\d)[.,](?=\d))\w[\w{ext}]*)*"
+        )
+        _WB4_RE = re.compile("|".join([cjk, kata, hira, word]), re.UNICODE)
+    return _WB4_RE
+
+
 def word_tokens(text: str) -> list[str]:
     """Word tokens; exact standard-tokenizer match on the fixture corpus."""
     return _WORD_RE.findall(text)
 
 
-def standard_tokens(text: str) -> list[str]:
-    """Lucene-``standard``-approximating UAX#29 word segmentation (see
-    _STANDARD_RE). Exact on the reference fixture corpus and on the common
-    cases real text hits: apostrophes, decimal/grouped numbers, CJK."""
-    return _STANDARD_RE.findall(text)
-
+def standard_tokens(
+    text: str, max_token_length: int = STANDARD_MAX_TOKEN_LENGTH
+) -> list[str]:
+    """Lucene-``standard``-approximating UAX#29 word segmentation. Exact on
+    the reference fixture corpus and on the common cases real text hits:
+    apostrophes, decimal/grouped numbers, CJK, combining marks / ZWJ inside
+    words (UAX#29 WB4 transparency), and the Lucene default 255-char token
+    cap (over-long runs split at the cap, like the StandardTokenizer
+    scanner, MinHashTokenFilterFactory.java:47-49 default analyzer)."""
+    toks = _wb4_standard_re().findall(text)
+    if any(len(t) > max_token_length for t in toks):
+        out: list[str] = []
+        for t in toks:
+            if len(t) <= max_token_length:
+                out.append(t)
+            else:
+                out.extend(
+                    t[i : i + max_token_length]
+                    for i in range(0, len(t), max_token_length)
+                )
+        return out
+    return toks
 
 # analyzer-chain token filters (the reference resolves full named analyzer
 # chains — tokenizer + filters — via MinHashFieldMapper.java:143-152; these

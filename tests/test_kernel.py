@@ -533,3 +533,72 @@ def test_factorize_injective_on_embedded_nul():
     packed = kernel.pack_bbit(mins, bit=1)
     for i, toks in enumerate(docs):
         assert packed[i].tobytes() == kernel.minhash_signature_oracle(toks, 0, 6, 1)
+
+
+def test_standard_tokens_uax29_wb4_and_max_length():
+    """UAX#29 WB4: Extend (combining marks) and Format (ZWJ/ZWNJ, soft
+    hyphen, bidi controls) are transparent inside a word run; Lucene's
+    default 255-char token cap splits over-long runs."""
+    from minhash_spark.tokenize import standard_tokens
+
+    # combining acute (Extend) attaches to the word, both NFC and NFD forms
+    assert standard_tokens("café menu") == ["café", "menu"]
+    assert standard_tokens("café menu") == ["café", "menu"]
+    # ZWJ / ZWNJ (Format) mid-word do not split
+    assert standard_tokens("ab‍cd ef") == ["ab‍cd", "ef"]
+    assert standard_tokens("ab‌cd") == ["ab‌cd"]
+    # soft hyphen (Format) mid-word
+    assert standard_tokens("hy­phen") == ["hy­phen"]
+    # emoji ZWJ sequence between words: emoji are not word chars; neighbors
+    # tokenize cleanly and the ZWJ does not glue them together
+    assert standard_tokens("abc \U0001F469‍\U0001F4BB def") == ["abc", "def"]
+    # a lone combining mark / format char is not a token
+    assert standard_tokens(" ́ ‍ ") == []
+    # mixed scripts with marks: devanagari matra (Mc) stays in the word
+    assert standard_tokens("नमस्ते hello") == [
+        "नमस्ते",
+        "hello",
+    ]
+    # max_token_length: 600-char run splits 255/255/90 (Lucene default)
+    assert [len(t) for t in standard_tokens("x" * 600)] == [255, 255, 90]
+    assert standard_tokens("x" * 600, max_token_length=100) == ["x" * 100] * 6
+    # fixture behavior unchanged
+    assert standard_tokens("test 1") == ["test", "1"]
+    assert standard_tokens("don't stop 3.14 1,000") == ["don't", "stop", "3.14", "1,000"]
+
+
+def test_standard_tokens_wb4_properties():
+    """Property: inserting an Extend/Format char INSIDE any word token never
+    changes the token count, and stripping marks recovers the base tokens."""
+    import unicodedata
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from minhash_spark.tokenize import standard_tokens
+
+    words = st.lists(
+        st.text(alphabet="abcdefgh0123", min_size=1, max_size=8), min_size=1, max_size=6
+    )
+    marks = st.sampled_from(["́", "̈", "‍", "‌", "­"])
+
+    @settings(max_examples=60, deadline=None)
+    @given(words, marks, st.integers(min_value=1, max_value=100))
+    def prop(ws, mark, seed):
+        text = " ".join(ws)
+        base = standard_tokens(text)
+        w = ws[seed % len(ws)]
+        if len(w) < 2:
+            return
+        pos = 1 + (seed % (len(w) - 1)) if len(w) > 1 else 1
+        marked = w[:pos] + mark + w[pos:]
+        text2 = " ".join(marked if i == seed % len(ws) else x for i, x in enumerate(ws))
+        got = standard_tokens(text2)
+        assert len(got) == len(base)
+        stripped = [
+            "".join(c for c in t if not unicodedata.category(c) in ("Mn", "Cf"))
+            for t in got
+        ]
+        assert stripped == base
+
+    prop()

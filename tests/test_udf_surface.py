@@ -304,3 +304,36 @@ def test_multi_config_chunked_fold_parity(monkeypatch):
     tok = make_tokenizer("word")
     solo = kernel.minhash_mins([tok(t) for t in texts], seed=77, size=16)
     np.testing.assert_array_equal(dense[:, 32:], solo)
+
+
+def test_search_est_jaccard_uses_bit_independent_inversion(spark):
+    """est_jaccard must invert PER-BIT match as 2p-1 (kernel.estimate_jaccard)
+    at EVERY bit width — the per-block 2^-bit figure is a different statistic
+    and overestimated est_jaccard for bit>1 indexes."""
+    import pyspark.sql.functions as F
+
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.functions.udfs import minhash_struct_udf, signature_for_text
+    from minhash_spark.plans.search import search_signatures
+
+    cfg = MinHashConfig(seed=0, size=64, bit=4, tokenizer="word_shingle",
+                        tokenizer_params={"n": 3}, num_bands=16, rows_per_band=4)
+    corpus = [
+        ("d1", "alpha beta gamma delta epsilon zeta eta theta " * 4),
+        ("d2", "alpha beta gamma delta epsilon zeta eta iota " * 4),
+        ("d3", "unrelated words entirely different from the others here " * 4),
+    ]
+    udf = minhash_struct_udf(cfg)
+    sigs = (
+        spark.createDataFrame(corpus, "rep_id string, content string")
+        .select("rep_id", udf(F.col("content")).alias("s"))
+        .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
+    )
+    qsig, qbands = signature_for_text(corpus[0][1], cfg)
+    rows = search_signatures(sigs, qsig, qbands, top_k=3, mode="brute", bit=4).collect()
+    assert len(rows) == 3
+    for r in rows:
+        expected = round(max(0.0, min(1.0, 2.0 * r["bit_match"] - 1.0)), 6)
+        assert r["est_jaccard"] == expected, (r["rep_id"], r["bit_match"], r["est_jaccard"])
+    # an imperfect match must exist so the formula is actually exercised
+    assert any(0.0 < r["bit_match"] < 1.0 for r in rows)
