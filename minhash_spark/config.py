@@ -154,6 +154,33 @@ class MinHashConfig:
         make_tokenizer(self.tokenizer, **self.tokenizer_params)
         return self
 
+    def merge(self, other: "MinHashConfig") -> "MinHashConfig":
+        """ES mapping-merge analog (O19; MinHashFieldMapper doMerge,
+        MinHashFieldMapper.java:297-300): a field's mapping may be UPDATED in
+        place only if the update cannot change already-stored bytes. Any
+        signature-determining field that differs (analyzer chain, seed,
+        size, bit, bands, null_value — `_SIGNATURE_FIELDS`) is a merge
+        CONFLICT and raises, listing every conflicting parameter like ES's
+        "mapper [field] has different [param]" error. Query-side verify/skew
+        knobs (verify_threshold, max_bucket_size, containment settings)
+        adopt the incoming values — they shape which pairs are accepted at
+        query time, not what was written, so an index/checkpoint stays valid
+        across the merge (same reason they are excluded from
+        signature_hash)."""
+        conflicts = [
+            f
+            for f in self._SIGNATURE_FIELDS
+            if getattr(self, f) != getattr(other, f)
+        ]
+        if conflicts:
+            raise ValueError(
+                "mapping merge conflict: different "
+                + ", ".join(f"[{f}]" for f in conflicts)
+                + " (signature-determining parameters cannot be updated in place; "
+                "reindex with a new config instead)"
+            )
+        return other.validate()
+
 
 # the three analyzer configs from the reference's golden test
 # (MinHashPluginTest.java:79-89)

@@ -602,3 +602,31 @@ def test_standard_tokens_wb4_properties():
         assert stripped == base
 
     prop()
+
+
+def test_config_merge_mapping_semantics():
+    """O19 mapping-merge analog: query-side knob updates merge in place;
+    signature-determining changes conflict with an ES-style error naming
+    every offending parameter."""
+    import pytest
+
+    from minhash_spark.config import MinHashConfig
+
+    base = MinHashConfig(seed=0, size=128, bit=1, tokenizer="word")
+    # compatible: verify/skew knobs change, stored bytes stay valid
+    upd = MinHashConfig(
+        seed=0, size=128, bit=1, tokenizer="word",
+        verify_threshold=0.9, max_bucket_size=128, containment_threshold=0.95,
+    )
+    merged = base.merge(upd)
+    assert merged.verify_threshold == 0.9 and merged.max_bucket_size == 128
+    assert merged.signature_hash() == base.signature_hash()
+    # conflict: bit and seed differ -> both named in the error
+    bad = MinHashConfig(seed=7, size=128, bit=2, tokenizer="word")
+    with pytest.raises(ValueError, match=r"\[seed\].*\[bit\]|\[bit\].*\[seed\]"):
+        base.merge(bad)
+    # conflict: analyzer chain change is not mergeable either
+    bad2 = MinHashConfig(seed=0, size=128, bit=1, tokenizer="word_shingle",
+                         tokenizer_params={"n": 3})
+    with pytest.raises(ValueError, match="tokenizer"):
+        base.merge(bad2)
