@@ -282,3 +282,41 @@ def test_incremental_signatures_license_gate(spark, tmp_path):
     )
     paths = {r["path"] for r in spark.read.parquet(out).collect()}
     assert paths == {"mit.py", "plain.py"}
+
+
+def test_incremental_star_anchors_on_history_min(spark, tmp_path):
+    """ADVICE r2: in an OVERSIZED bucket, if a newly arrived doc displaces
+    the bucket minimum, the star must still anchor on the HISTORY-side
+    minimum — otherwise the new doc pairs with nothing (it would be its own
+    anchor) and the new-vs-history edge is permanently lost."""
+    import hashlib
+
+    inp, state, ckpt = (str(tmp_path / d) for d in ("in", "state", "ckpt"))
+    cfg = MinHashConfig(
+        seed=1000, size=32, bit=2, tokenizer="word",
+        num_bands=8, rows_per_band=4, verify_threshold=0.9,
+        max_bucket_size=4,  # 6 history + 1 new identical docs -> oversized
+    )
+    fid = lambda p: hashlib.sha256(f"r{p}c".encode()).hexdigest()  # noqa: E731
+    cands = sorted((fid(f"p{i}"), f"p{i}") for i in range(200))
+    new_path = cands[0][1]           # smallest file_id -> displaces the min
+    hist_paths = [p for _, p in cands[-6:]]  # history = the 6 largest
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    _write_batch(spark, inp, [("r", p, "c", "txt", text) for p in hist_paths])
+    run_incremental_dedup(spark, inp, state, ckpt, cfg, maintain_clusters=True)
+    _write_batch(spark, inp, [("r", new_path, "c", "txt", text)])
+    run_incremental_dedup(spark, inp, state, ckpt, cfg, maintain_clusters=True)
+
+    new_id = fid(new_path)
+    hist_ids = {fid(p) for p in hist_paths}
+    edges = spark.read.parquet(os.path.join(state, "edges")).select("a_id", "b_id").collect()
+    touching_new = {
+        (r["a_id"], r["b_id"]) for r in edges if new_id in (r["a_id"], r["b_id"])
+    }
+    assert touching_new, "new doc must gain an edge despite being the bucket min"
+    assert any(
+        a in hist_ids or b in hist_ids for a, b in touching_new
+    ), "the new doc's star edge must reach a HISTORY member"
+    clusters = spark.read.parquet(os.path.join(state, "clusters"))
+    assert clusters.select("cluster_id").distinct().count() == 1
+    assert clusters.count() == 7
