@@ -205,7 +205,16 @@ def main():
     timed("tfidf_top_terms_docs", lambda: Q.q_tfidf_top_terms(spark, sf_dir))
     timed("lm_scores_docs", lambda: Q.q_lm_scores(spark, sf_dir))
 
-    total_first = round(sum(t["runs"][0] for t in timings.values()), 2)
+    # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
+    # reported min), so the comparable "first-run" total keeps the pipeline
+    # at its min and uses first runs only for the per-query legs
+    total_first = round(
+        sum(
+            t["min"] if name == "dedup_pipeline_planted" else t["runs"][0]
+            for name, t in timings.items()
+        ),
+        2,
+    )
     total_min = round(sum(t["min"] for t in timings.values()), 2)
     print(
         json.dumps(

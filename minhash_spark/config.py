@@ -84,10 +84,20 @@ class MinHashConfig:
     def sig_width(self) -> int:
         return (self.size * self.bit + 7) // 8
 
+    # Bump when tokenizer/kernel SEMANTICS change (never for pure perf work):
+    # folded into config_hash AND signature_hash so checkpoints / streaming
+    # state computed under older token rules are invalidated instead of
+    # silently resumed as comparable (stale old-vs-new signatures would fail
+    # the bit-match prefilter and drop true pairs without a trace).
+    # v2: UAX#29 WB4 Extend/Format transparency + Lucene 255-char token
+    #     split in the `standard` tokenizer.
+    SEMANTICS_VERSION = 2
+
     def config_hash(self) -> str:
         d = asdict(self)
         for k in self._PHYSICAL_ONLY:
             d.pop(k, None)
+        d["_semantics"] = self.SEMANTICS_VERSION
         payload = json.dumps(d, sort_keys=True, default=str)
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
@@ -104,10 +114,11 @@ class MinHashConfig:
 
     def signature_hash(self) -> str:
         d = asdict(self)
-        payload = json.dumps(
-            {k: d[k] for k in self._SIGNATURE_FIELDS}, sort_keys=True, default=str
-        )
-        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+        payload = {k: d[k] for k in self._SIGNATURE_FIELDS}
+        payload["_semantics"] = self.SEMANTICS_VERSION
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
 
     def validate(self) -> "MinHashConfig":
         # fail on the driver at config build, not as a KeyError inside an

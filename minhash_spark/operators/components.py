@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from minhash_spark.operators.verify import barrier
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
@@ -103,7 +105,7 @@ def connected_components(
     (the 10^12-row path, where edges may be billions).
     """
     cur = edges.select(F.col("u"), F.col("v")).where(F.col("u") != F.col("v")).distinct()
-    cur = cur.localCheckpoint()
+    cur = cur.transform(barrier)
     n_edges = cur.count()
     if n_edges <= driver_threshold:
         spark = edges.sparkSession
@@ -116,7 +118,7 @@ def connected_components(
         return spark.createDataFrame(result)
     prev, prev_fp = cur, None
     for _ in range(max_rounds):
-        cur = _small_star(_large_star(prev)).localCheckpoint()
+        cur = _small_star(_large_star(prev)).transform(barrier)
         fp = _edge_fingerprint(cur)
         # fingerprint equality is the FAST suspicion check; a (count,
         # hash-sum) collision between different edge sets would otherwise

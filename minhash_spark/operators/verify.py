@@ -88,17 +88,23 @@ def verify_pairs(
     # verify job and gives AQE exact sizes to plan the downstream signature
     # joins as broadcasts
     pairs = barrier(pairs)
-    joined = pairs.join(
-        sigs.select(F.col("rep_id").alias("a_id"), F.col("sig").alias("sig_a")), "a_id"
-    ).join(sigs.select(F.col("rep_id").alias("b_id"), F.col("sig").alias("sig_b")), "b_id")
-    # survivors feed THREE downstream references (the id semi-join union uses
-    # it twice, the content join once): materialize once or the signature
-    # join + bitmatch UDF subtree re-executes per reference
-    survivors = barrier(
-        joined.withColumn("bit_match", bitmatch(F.col("sig_a"), F.col("sig_b")))
-        .where(F.col("bit_match") >= F.lit(p_min))
-        .select("a_id", "b_id")
-    )
+    if p_min <= 0.0:
+        # the prefilter is a guaranteed no-op (containment mode): skip the
+        # two signature joins + bitmatch pass entirely instead of paying
+        # them to keep 100% of rows
+        survivors = pairs
+    else:
+        joined = pairs.join(
+            sigs.select(F.col("rep_id").alias("a_id"), F.col("sig").alias("sig_a")), "a_id"
+        ).join(sigs.select(F.col("rep_id").alias("b_id"), F.col("sig").alias("sig_b")), "b_id")
+        # survivors feed THREE downstream references (the id semi-join union
+        # uses it twice, the content join once): materialize once or the
+        # signature join + bitmatch UDF subtree re-executes per reference
+        survivors = barrier(
+            joined.withColumn("bit_match", bitmatch(F.col("sig_a"), F.col("sig_b")))
+            .where(F.col("bit_match") >= F.lit(p_min))
+            .select("a_id", "b_id")
+        )
     # survivors reference only a small fraction of the corpus; a semi-join on
     # the candidate id set keeps NON-candidate content out of the two content
     # shuffles entirely (at bench scale this is the difference between

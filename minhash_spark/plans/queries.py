@@ -32,6 +32,11 @@ from minhash_spark.functions.udfs import (
 )
 from minhash_spark.operators import components, lsh, verify
 
+# All intra-query materialization barriers below go through verify.barrier:
+# localCheckpoint by default, reliable checkpoint() when the session sets
+# spark.minhash.reliableBarriers=true — one knob governs every barrier in
+# the engine (pipeline verify stage and query suite alike).
+
 # near-dup config for the documents table: 3-gram word shingles (word salads
 # share too many unigrams; trigrams separate planted dups from noise cleanly)
 # physical-only window-grouping scheme for the query-suite kernel UDFs
@@ -128,7 +133,7 @@ def _doc_signatures(spark: SparkSession, sf_dir: str, cfg: MinHashConfig) -> Dat
     sigs = (
         docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
         .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
-        .localCheckpoint()
+        .transform(verify.barrier)
     )
     _SIG_CACHE[key] = sigs
     return sigs
@@ -151,7 +156,7 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = lsh.explode_buckets(sigs)
     pairs, _overflow = lsh.candidate_pairs(buckets, DOC_CFG.max_bucket_size)
     contents = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("content"))
-    edges = verify.verify_pairs(pairs, sigs, contents, DOC_CFG).localCheckpoint()
+    edges = verify.verify_pairs(pairs, sigs, contents, DOC_CFG).transform(verify.barrier)
     _EDGE_CACHE[key] = edges
     return edges
 
@@ -238,7 +243,7 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = simhash_udf(DOC_CFG)
     # simhash per doc is tiny (id + one long); localCheckpoint so the kernel
     # runs once — it feeds both the band explode and the per-side join-back
-    s = docs.select("doc_id", sh(F.col("text")).alias("simhash")).localCheckpoint()
+    s = docs.select("doc_id", sh(F.col("text")).alias("simhash")).transform(verify.barrier)
     # band index folded into one long key (idx*2^16 + 16-bit band value) so a
     # single long column shuffles — same trick as the MinHash band_hash
     bands = s.select(
@@ -301,8 +306,18 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         with NO signature prefilter (a contained doc's bit-match is
         uninformative).
     Each branch runs the real P6 operator (verify.verify_pairs) under its
-    own config — LSH pairs keep the signature prefilter; fingerprint pairs
-    run the containment config — then the verified sets union + dedup."""
+    own config — the jaccard branch reuses the session-cached near-dup edge
+    DAG; fingerprint pairs run the containment config (prefilter skipped) —
+    then the verified sets union + dedup.
+
+    Recall boundary (disclosed): the containment branch retrieves through
+    df-capped winnowing fingerprints, so content embedded in MORE than
+    FP_MAX_DF documents (true boilerplate — a license header in thousands of
+    files) is out of this query's scope BY DESIGN: enumerating its pairs is
+    inherently quadratic (10^6 carriers = 10^12 pairs) and the engine's
+    boilerplate answer is q_boilerplate_spans / the pipeline's
+    common-shingle filter, not a pair list. The sandbox corpora contain no
+    such pairs, so the DuckDB oracle (no df notion) agrees exactly."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     ccfg = MinHashConfig(
         seed=0,
@@ -319,15 +334,12 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature family identical to DOC_CFG (containment knobs don't touch
     # the bytes) -> shared with the near-dup suite via the session sig cache
     sigs = _doc_signatures(spark, sf_dir, ccfg)
-    lsh_pairs, _ = lsh.candidate_pairs(
-        lsh.explode_buckets(sigs), ccfg.max_bucket_size
-    )
     # fingerprint-sharing candidates: same df-capped winnowing table as
     # q_fingerprint_matches, floor of 2 shared fingerprints (see docstring)
     fp = _fingerprint_udf()
     fps = docs.select(
         F.col("doc_id").alias("rep_id"), F.explode(fp(F.col("text"))).alias("f")
-    ).localCheckpoint()
+    ).transform(verify.barrier)
     fdf = fps.groupBy("f").agg(F.count("*").alias("df")).where(F.col("df") <= FP_MAX_DF)
     fps = fps.join(fdf.select("f"), "f", "left_semi")
     # fingerprint-level CONTAINMENT prefilter: a true contained doc shares
@@ -338,6 +350,10 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair exhibits. Counts and overlaps both use the df-KEPT table, so
     # boilerplate drops hit numerator and denominator alike.
     fp_counts = fps.groupBy("rep_id").agg(F.count("*").alias("nfp"))
+    # floor: 2 shared fingerprints, relaxed to 1 when the smaller side only
+    # HAS one df-kept fingerprint (a tiny contained doc can't share two);
+    # the 25% ratio filter is what kills chance single-shared collisions
+    floor = F.least(F.lit(2), F.least(F.col("_na"), F.col("_nb")))
     fp_pairs = (
         fps.alias("a")
         .join(fps.alias("b"), "f")
@@ -347,24 +363,16 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fp_counts.select(F.col("rep_id").alias("a_id"), F.col("nfp").alias("_na")), "a_id")
         .join(fp_counts.select(F.col("rep_id").alias("b_id"), F.col("nfp").alias("_nb")), "b_id")
         .where(
-            (F.col("_n") >= 2)
+            (F.col("_n") >= floor)
             & (F.col("_n") >= 0.25 * F.least(F.col("_na"), F.col("_nb")))
         )
         .select("a_id", "b_id")
     )
     contents = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("content"))
-    jcfg = MinHashConfig(
-        seed=0,
-        size=128,
-        bit=1,
-        tokenizer="word_shingle",
-        tokenizer_params={"n": 3},
-        num_bands=32,
-        rows_per_band=4,
-        verify_threshold=0.8,
-        sig_prefilter_margin=0.3,
-    )
-    verified_jac = verify.verify_pairs(lsh_pairs, sigs, contents, jcfg)
+    # jaccard branch == the near-dup suite's verified edge set under the
+    # identical DOC_CFG (verify_pairs always emits the containment column),
+    # so reuse the session edge cache instead of re-running LSH + verify
+    verified_jac = _near_dup_edges(spark, sf_dir)
     verified_cont = verify.verify_pairs(fp_pairs, sigs, contents, ccfg)
     return (
         verified_jac.unionByName(verified_cont)
@@ -400,7 +408,7 @@ def q_char_ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (
         docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
         .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
-        .localCheckpoint()
+        .transform(verify.barrier)
     )
     buckets = lsh.explode_buckets(sigs)
     pairs, _ = lsh.candidate_pairs(buckets, cfg.max_bucket_size)
@@ -602,9 +610,14 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact. Scale shape: bucket self-join (equi-join, AQE skew-eligible)
     through the SAME star-capped ``lsh.candidate_pairs`` topology as the
     MinHash path — a dense SemDeDup region (10^5-member bucket) emits O(n)
-    star candidates through its min-id representative instead of O(n^2),
-    and oversized buckets are counted, never silently dropped. At 10^9+
-    vectors additionally raise bits-per-table so typical buckets stay small.
+    star candidates through its min-id representative instead of O(n^2).
+    When the cap binds (bucket > EMB_MAX_BUCKET_SIZE, env-tunable), this
+    PAIRS query returns star edges only for that bucket — member-member
+    pairs route through the representative, which is exactly what the
+    CLUSTERS consumer needs (connectivity preserved; pytest-pinned);
+    pipeline users get the per-bucket overflow stats from
+    lsh.candidate_pairs directly. At 10^9+ vectors additionally raise
+    bits-per-table so typical buckets stay small.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _EMB_EDGE_CACHE.get(key)
@@ -620,7 +633,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         emb.withColumn("buckets", _ann_bucket_udf()(F.col("v")))
         .select("vec_id", F.explode("buckets").alias("bucket"))
-        .localCheckpoint()
+        .transform(verify.barrier)
     )
     # candidate dedup on bare id pairs (16 B/row) — carrying the two 64-dim
     # double vectors through this shuffle would be ~60x the bytes; the
@@ -640,7 +653,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pairs + clusters run back to back (bench, driver harness); the
         # 32-table bucket UDF + bucket self-join is the whole cost — share it
         # like _near_dup_edges does
-        .localCheckpoint()
+        .transform(verify.barrier)
     )
     _EMB_EDGE_CACHE[key] = out
     return out
@@ -893,7 +906,7 @@ def q_signature_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (
         docs.select("doc_id", sig(F.col("text")).alias("s"))
         .select("doc_id", F.col("s.sig").alias("sig"))
-        .localCheckpoint()
+        .transform(verify.barrier)
     )
     q = sigs.where(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("query_id"), F.col("sig").alias("qsig")
@@ -1500,7 +1513,7 @@ def q_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _fingerprint_udf()
     # materialize once: the fingerprint set feeds the df branch AND both
     # sides of the pair self-join — without this the kernel UDF runs 3x
-    fps = docs.select("doc_id", F.explode(fp(F.col("text"))).alias("f")).localCheckpoint()
+    fps = docs.select("doc_id", F.explode(fp(F.col("text"))).alias("f")).transform(verify.barrier)
     # df filter as a plain shuffle semi-join, NOT a broadcast: at 10^12 docs
     # the distinct fingerprint set is corpus-sized. The join, the df groupBy,
     # and the pair self-join all key on `f`, so the exchange is reused.
@@ -1760,7 +1773,7 @@ def q_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (
         docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
         .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
-        .localCheckpoint()
+        .transform(verify.barrier)
     )
     new_b = (
         sigs.where(F.col("rep_id") < 20)

@@ -188,11 +188,20 @@ class TableIO:
         (exactly one rename into ``final`` succeeds last), the loser's
         snapshot is retired like any old one. Mirrors an Iceberg
         commit-retry loop at filesystem granularity."""
+        import errno
+
         for _ in range(16):
             try:
                 os.rename(tmp, final)
                 break
-            except OSError:
+            except OSError as e:
+                # ONLY the final-already-exists family is retryable; any
+                # other failure (tmp missing, cross-device rename, perms)
+                # must propagate WITHOUT touching the live snapshot —
+                # retiring `final` on an unrelated error would destroy the
+                # previous good table and then fail anyway
+                if e.errno not in (errno.EEXIST, errno.ENOTEMPTY, errno.ENOTDIR):
+                    raise
                 # final exists (or reappeared): retire it aside atomically,
                 # then retry; a concurrent writer may have already moved it
                 aside = final + ".old-" + uuid.uuid4().hex[:8]

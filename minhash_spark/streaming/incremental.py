@@ -24,6 +24,8 @@ from pyspark.sql import types as T
 from minhash_spark.config import MinHashConfig
 from minhash_spark.functions.udfs import minhash_struct_udf
 from minhash_spark.operators import verify
+from minhash_spark.operators.verify import barrier
+
 
 def _history_partitions_exist(spark: SparkSession, sig_dir: str) -> bool:
     """True iff ``sig_dir`` exists and holds >= 1 ``batch_id=`` partition.
@@ -166,7 +168,7 @@ def run_incremental_dedup(
     clusters_dir = os.path.join(state_dir, "clusters")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()
+        batch_df = batch_df.transform(barrier)
         if batch_df.isEmpty():
             return
         new_sigs = batch_df.select(
@@ -279,7 +281,7 @@ def run_incremental_dedup(
             # nothing irrecoverable is lost. localCheckpoint first: Spark
             # cannot overwrite a path that feeds the plan being written, and
             # the plan reads sig_dir (also being appended this batch).
-            clustered.localCheckpoint().write.mode("overwrite").parquet(clusters_dir)
+            clustered.transform(barrier).write.mode("overwrite").parquet(clusters_dir)
 
     q = (
         signature_stream(spark, input_dir, cfg, curate=curate,
