@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": Q.q_cluster_representatives,
         "vocab": Q.q_vocab,
         "deterministic_sample": Q.q_deterministic_sample,
+        "stratified_sample": Q.q_stratified_sample,
+        "leakage_safe_split": Q.q_leakage_safe_split,
+        "source_dedup_report": Q.q_source_dedup_report,
         "repetition_scores": Q.q_repetition_scores,
         "boilerplate_spans": Q.q_boilerplate_spans,
         "decontaminate": Q.q_decontaminate,
@@ -412,6 +415,40 @@ def oracle_sql() -> dict[str, str]:
                    ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 10 AS bucket
             FROM documents
             WHERE ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 10 = 0
+        """,
+        # mirrors MIX_WEIGHTS_PERMILLE / MIX_DEFAULT_PERMILLE in queries.py
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang, source,
+                     ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 1000 AS mix_bucket,
+                     CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500
+                               WHEN 'fr' THEN 500 WHEN 'es' THEN 250
+                               WHEN 'zh' THEN 250 ELSE 100 END AS rate
+              FROM documents
+            )
+            SELECT doc_id, lang, source, mix_bucket::BIGINT AS mix_bucket
+            FROM b WHERE mix_bucket < rate
+        """,
+        "leakage_safe_split": f"""
+            WITH clusters AS ({_NEAR_DUP_CLUSTERS_SQL}),
+            s AS (
+              SELECT doc_id, cluster_id,
+                     ('0x' || substr(sha256(CAST(cluster_id AS VARCHAR)), 1, 8))::UBIGINT % 10 AS b
+              FROM clusters
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+            FROM s
+        """,
+        "source_dedup_report": f"""
+            WITH clusters AS ({_NEAR_DUP_CLUSTERS_SQL})
+            SELECT d.source,
+                   count(*) AS n_docs,
+                   count(DISTINCT sha256(d.text)) AS n_exact_unique,
+                   count(DISTINCT c.cluster_id) AS n_clusters,
+                   1.0 - count(DISTINCT c.cluster_id)::DOUBLE / count(*) AS near_dup_ratio
+            FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+            GROUP BY d.source
         """,
         # TPC-H-shaped relational queries: DECIMAL arithmetic end to end
         # (exact, order-independent sums on both engines), final cast to

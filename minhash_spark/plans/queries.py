@@ -848,6 +848,81 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language keep rates in per-mille (training-mix weights: upsample
+# English, downsample the rest — the FineWeb/CCNet data-mixing shape);
+# languages outside the map keep the DEFAULT rate
+MIX_WEIGHTS_PERMILLE = {"en": 1000, "de": 500, "fr": 500, "es": 250, "zh": 250}
+MIX_DEFAULT_PERMILLE = 100
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-language sampling (training-data mixing): keep each doc
+    with its language's per-mille rate, decided by a CONTENT-hash bucket —
+    deterministic, engine- and partitioning-independent, and consistent for
+    identical texts (exact dups sample together, so the mix survives a later
+    exact-dedup pass unchanged). Pure per-row predicate: no shuffle, filter
+    + pruning fused into the scan at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.sha2("text", 256), 1, 8), 16, 10).cast("long") % 1000
+    rate = F.lit(MIX_DEFAULT_PERMILLE)
+    for lang, permille in MIX_WEIGHTS_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, permille).otherwise(rate)
+    return (
+        docs.withColumn("mix_bucket", bucket)
+        .where(F.col("mix_bucket") < rate)
+        .select("doc_id", "lang", "source", F.col("mix_bucket").cast("long").alias("mix_bucket"))
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split is decided by a hash
+    of the CLUSTER id, not the document, so near-duplicates can never
+    straddle a split boundary — the leakage a naive per-doc split creates
+    (an eval doc whose near-twin sits in train). 80/10/10 via sha256 of the
+    cluster id's decimal string (engine-independent). Reuses the session
+    edge DAG; the split itself is a pure map over (doc, cluster)."""
+    clusters = q_near_dup_clusters(spark, sf_dir)
+    b = (
+        F.conv(
+            F.substring(F.sha2(F.col("cluster_id").cast("string"), 256), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )
+
+
+def q_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup report: docs, exact-unique texts, near-dup clusters,
+    and the near-dup ratio (1 - clusters/docs) — the per-provenance quality
+    table a corpus owner reads to find which feeds are copy-heavy. Two
+    partial-agg shuffles over |sources| groups; cluster ids come from the
+    shared edge DAG. dup ratio is one exact int/int division (bit-stable
+    across engines)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    clusters = q_near_dup_clusters(spark, sf_dir)
+    j = docs.join(clusters, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(F.sha2("text", 256)).cast("long").alias("n_exact_unique"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_unique",
+            "n_clusters",
+            (F.lit(1.0) - F.col("n_clusters").cast("double") / F.col("n_docs"))
+            .alias("near_dup_ratio"),
+        )
+    )
+
+
 def q_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity SEARCH (the reference's actual query surface — find docs
     similar to a given one, cf. README.md:70-77 term-query-on-minhash): for

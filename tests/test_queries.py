@@ -649,3 +649,41 @@ def test_containment_pairs_planted(spark, tmp_path):
     assert r["containment"] == 1.0 and r["jaccard"] < 0.8
     assert (1, 2) in got and got[(1, 2)]["jaccard"] >= 0.8
     assert (20, 21) not in got, "substring witness must reject shuffled-shingle pair"
+
+
+def test_stratified_sample_mix_weights(spark):
+    rows = Q.q_stratified_sample(spark, SF).collect()
+    docs = {r["doc_id"]: r for r in Q.load(spark, SF, "documents").select("doc_id", "lang").collect()}
+    total = {}
+    for r in docs.values():
+        total[r["lang"]] = total.get(r["lang"], 0) + 1
+    kept = {}
+    for r in rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+        assert r["mix_bucket"] < Q.MIX_WEIGHTS_PERMILLE.get(r["lang"], Q.MIX_DEFAULT_PERMILLE)
+    # en keeps everything (rate 1000/1000); downsampled langs keep strictly less
+    assert kept["en"] == total["en"]
+    for lang in ("es", "zh"):
+        assert 0 < kept.get(lang, 0) < total[lang]
+    # deterministic: second run identical
+    again = Q.q_stratified_sample(spark, SF).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in rows)
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    rows = Q.q_leakage_safe_split(spark, SF).collect()
+    assert len(rows) == 500
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_cluster.values()), "a cluster straddles splits"
+    splits = {s for ss in per_cluster.values() for s in ss}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_source_dedup_report_invariants(spark):
+    rows = Q.q_source_dedup_report(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r["n_clusters"] <= r["n_exact_unique"] <= r["n_docs"]
+        assert 0.0 <= r["near_dup_ratio"] < 1.0
