@@ -767,8 +767,11 @@ def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair count, cluster count, and the kept-after-dedup ratio.
     Aggregates engine outputs (shares the cached edge DAG)."""
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    n_unique = docs.select(F.sha2("text", 256)).distinct().count()
+    # one scan for both corpus scalars (count + exact-unique), not two
+    head = docs.agg(
+        F.count("*").alias("n"), F.countDistinct(F.sha2("text", 256)).alias("u")
+    ).first()
+    n_docs, n_unique = head["n"], head["u"]
     n_pairs = _near_dup_edges(spark, sf_dir).count()
     n_clusters = (
         q_near_dup_clusters(spark, sf_dir).select("cluster_id").distinct().count()

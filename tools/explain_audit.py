@@ -51,6 +51,7 @@ AUDITED = [
     # Scan ExistingRDD (same reason as fingerprint_matches above)
     "event_funnel",
     "event_retention",
+    "stratified_sample",
 ]
 
 CHECKS = {
