@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": Q.q_near_dup_pairs,
         "near_dup_clusters": Q.q_near_dup_clusters,
         "minhash_signatures": Q.q_minhash_signatures,
+        "minhash_signatures_oph": Q.q_minhash_signatures_oph,
         "minhash_collapse": Q.q_minhash_collapse,
         "multi_signatures": Q.q_multi_signatures,
         "simhash_near_dup_pairs": Q.q_simhash_near_dup_pairs,

@@ -197,6 +197,29 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", b64(F.col("text")).alias("sig_b64"))
 
 
+def q_minhash_signatures_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing signatures (the engine's 10^12-row scale
+    scheme: one hash pass + size-bucket minima + rotation fill-in, vs kseed's
+    size x hashes) — exposed through the driver gate so the scale kernel
+    runs end-to-end per round, not only in pytest. rows-only: murmur bytes
+    are not DuckDB-computable; OPH==reference-quality estimation properties
+    are pinned by the kernel property suite."""
+    docs = load(spark, sf_dir, "documents")
+    ocfg = MinHashConfig(
+        seed=0,
+        size=128,
+        bit=1,
+        scheme="oph",
+        tokenizer="word_shingle",
+        tokenizer_params={"n": 3},
+        num_bands=32,
+        rows_per_band=4,
+        verify_threshold=0.8,
+    )
+    b64 = minhash_b64_udf(ocfg)
+    return docs.select("doc_id", b64(F.col("text")).alias("sig_b64"))
+
+
 def q_minhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O16 field-collapse analog: one representative doc per distinct signature.
     No oracle: near-identical docs may legitimately share a signature."""
