@@ -1283,27 +1283,33 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fraction of its distinct word-5-gram spans that also occur in at
     least BOILERPLATE_MIN_DF-1 OTHER docs.
 
-    Plan: explode distinct spans -> span doc-frequency (partial-agg groupBy)
-    -> join back on span -> per-doc agg. Both shuffles are combiner-reduced;
-    the span-df table is the same artifact the pipeline's common-shingle
-    filter builds from a sample (pipeline.py) — here exact, corpus-wide."""
+    Plan: with MIN_DF=2 a span is "shared" unless its doc-frequency is 1, and
+    a df=1 span has exactly one owner — so n_shared = n_spans - n_solo and the
+    exploded span table is shuffled ONCE (groupBy span, combiner-reduced on
+    the hot boilerplate spans) instead of twice (the r2 plan joined the span
+    table back against its own df aggregate, a second full span shuffle that
+    dominated the wall at 100x). The per-doc n_spans branch shuffles only one
+    combiner-reduced row per (doc, partition); the final doc_id join moves two
+    doc-sized tables."""
+    assert BOILERPLATE_MIN_DF == 2, "complement form below requires MIN_DF == 2"
     docs = load(spark, sf_dir, "documents")
     spans = _doc_spans(docs, BOILERPLATE_N)
-    span_df = spans.groupBy("span").agg(F.count("*").alias("df"))
-    joined = spans.join(span_df, "span")
+    per_doc = spans.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_spans"))
+    solo = (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("doc_id"))
+        .where(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_solo"))
+    )
+    n_shared = (F.col("n_spans") - F.coalesce(F.col("n_solo"), F.lit(0))).cast("long")
     return (
-        joined.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("df") >= BOILERPLATE_MIN_DF, 1).otherwise(0))
-            .cast("long")
-            .alias("n_shared"),
-        )
+        per_doc.join(solo, "doc_id", "left")
         .select(
             "doc_id",
             "n_spans",
-            "n_shared",
-            (F.col("n_shared").cast("double") / F.col("n_spans")).alias("shared_ratio"),
+            n_shared.alias("n_shared"),
+            (n_shared.cast("double") / F.col("n_spans")).alias("shared_ratio"),
         )
     )
 

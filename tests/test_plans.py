@@ -103,10 +103,18 @@ def test_decontaminate_broadcasts_eval_side(spark):
 
 
 def test_boilerplate_spans_partial_aggregation(spark):
-    """span doc-frequency and the per-doc rollup must both map-side combine."""
+    """span doc-frequency and the per-doc rollup must both map-side combine,
+    and the exploded span table must be shuffled exactly ONCE (the complement
+    form n_shared = n_spans - n_solo removed the r2 join-back's second full
+    span exchange)."""
     plan = _plan(Q.q_boilerplate_spans(spark, SF))
     n_agg = len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan))
-    assert n_agg >= 4, plan  # (partial+final) x (span-df, per-doc)
+    assert n_agg >= 6, plan  # (partial+final) x (span-df, n_solo, per-doc)
+    span_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "span#" in ln
+    ]
+    assert len(span_shuffles) == 1, plan
 
 
 def test_embedding_ann_ivf_broadcasts_query_probes(spark):
