@@ -1228,14 +1228,32 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition quality signals (Gopher/C4-style filters): distinct
     token ratio, most-frequent-token mass, most-frequent-bigram mass.
 
-    Everything is computed INSIDE the row with higher-order functions
-    (transform/filter/array_distinct) — zero shuffles, whole-stage codegen,
-    the per-row cost is O(tokens * distinct_tokens) on ~100-token docs. At
-    100 TB this is the ideal shape: a pure map over the scan with column
-    pruning down to (doc_id, text)."""
+    Everything is computed INSIDE the row with higher-order functions —
+    zero shuffles, a pure map over the scan with column pruning down to
+    (doc_id, text). The max token multiplicity is the longest equal run of
+    the SORTED array (array_sort + one aggregate pass carrying
+    (prev, run, best) state): O(n log n) per row, replacing the r2
+    transform-x-filter form whose O(tokens * distinct_tokens) cost was fine
+    on 100-token rows but quadratic on real 10k-token documents."""
     def top_count(col: str) -> F.Column:
-        return F.array_max(
-            F.transform(F.array_distinct(col), lambda t: F.size(F.filter(col, lambda x: x == t)))
+        def step(acc: F.Column, x: F.Column) -> F.Column:
+            run = (
+                F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1))
+                .otherwise(acc["run"] + 1)
+            )
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+            )
+
+        return F.aggregate(
+            F.array_sort(col),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            step,
+            lambda acc: acc["best"],
         )
 
     docs = load(spark, sf_dir, "documents")
