@@ -283,6 +283,45 @@ def test_boilerplate_spans_bounds_and_planted(spark, tmp_path):
     assert got[2]["shared_ratio"] == 1.0  # its only span IS the shared one
 
 
+def test_boilerplate_spans_match_python_random(spark, tmp_path):
+    """Seeded random corpus, exact per-doc comparison against a direct
+    Python doc-frequency computation — pins the complement form
+    (n_shared = n_spans - n_solo) to the original >=2-docs semantics,
+    including the <5-token whole-text span rule and empty docs."""
+    import random
+    import re as _re
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    data = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(60)
+    ]
+
+    def doc_spans(t):
+        w = _re.findall(r"[0-9A-Za-z_]+", t)
+        if len(w) < 5:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    df_count = {}
+    for _i, t in data:
+        for s in doc_spans(t):
+            df_count[s] = df_count.get(s, 0) + 1
+
+    p = str(tmp_path / "rand")
+    spark.createDataFrame(data, "doc_id long, text string").write.parquet(
+        f"{p}/documents.parquet"
+    )
+    got = {r["doc_id"]: r for r in Q.q_boilerplate_spans(spark, p).collect()}
+    assert set(got) == {i for i, _t in data}
+    for i, t in data:
+        sp = doc_spans(t)
+        want_shared = sum(1 for s in sp if df_count[s] >= 2)
+        assert got[i]["n_spans"] == len(sp), (i, t)
+        assert got[i]["n_shared"] == want_shared, (i, t)
+
+
 def test_decontaminate_planted_overlap(spark, tmp_path):
     # eval doc 3's text is embedded verbatim inside train doc 25
     ev_text = "the quick brown fox jumps over the lazy dog tonight"
