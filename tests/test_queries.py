@@ -260,6 +260,21 @@ def test_repetition_scores_match_python(spark):
         assert abs(r["top_bigram_ratio"] - max(collections.Counter(bg).values()) / len(bg)) < 1e-12
 
 
+def test_repetition_scores_long_doc_exact(spark, tmp_path):
+    """20k-token document with known multiplicities — the regime where the
+    pre-rewrite transform-x-filter form was quadratic. Exact expectations:
+    8 distinct tokens x 2500 repeats, top bigram 'tok a' at 2500/19999."""
+    text = ("tok a b c d e f g " * 2500).strip()
+    p = str(tmp_path / "long")
+    spark.createDataFrame([(0, text)], "doc_id long, text string").write.parquet(
+        f"{p}/documents.parquet"
+    )
+    r = Q.q_repetition_scores(spark, p).collect()[0]
+    assert r["n_tokens"] == 20000 and r["n_distinct"] == 8
+    assert abs(r["top_token_ratio"] - 2500 / 20000) < 1e-12
+    assert abs(r["top_bigram_ratio"] - 2500 / 19999) < 1e-12
+
+
 def test_boilerplate_spans_bounds_and_planted(spark, tmp_path):
     # driver corpus: ratios well-formed
     rows = Q.q_boilerplate_spans(spark, SF).collect()
