@@ -1664,12 +1664,16 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive PASSAGE_TOKENS-token passages, count each passage's global
     occurrences, report per-doc duplication.
 
-    Scale shape: pure native expressions (split/transform/explode), one
-    groupBy on the passage text (partial-aggregable — combiner-reduced
-    map-side), one equi-join back. At 10^12 docs the passage table is
-    corpus-sized, so the join is a sane shuffle equi-join, never a
-    broadcast; production would group on sha2(passage) to shrink shuffle
-    bytes (grouping on the text here keeps the DuckDB oracle exact)."""
+    Scale shape: a chunk instance is a duplicate unless its text occurs
+    exactly once globally, and that unique occurrence has exactly one owner
+    — so per-doc n_dup_chunks = n_chunks - n_unique, where n_chunks comes
+    straight off the doc row (ceil(tokens/PASSAGE_TOKENS), no explode) and
+    n_unique from the gc=1 rows of the passage groupBy (combiner-reduced
+    map-side, min(doc_id) = the sole owner). The corpus-sized passage table
+    is shuffled ONCE; the r2 plan joined it back against its own occurrence
+    aggregate — a second full passage shuffle. Production would group on
+    sha2(passage) to shrink shuffle bytes (grouping on the text here keeps
+    the DuckDB oracle exact)."""
     docs = load(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(F.col("w"))
@@ -1678,21 +1682,24 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_of = lambda i: F.array_join(  # noqa: E731
         F.slice(F.col("w"), (i * PASSAGE_TOKENS + 1).cast("int"), PASSAGE_TOKENS), " "
     )
-    chunks = (
-        docs.select("doc_id", w.alias("w"))
-        .select("doc_id", F.explode(F.transform(idxs, chunk_of)).alias("chunk"))
-    )
-    g = chunks.groupBy("chunk").agg(F.count("*").alias("gc"))
-    return (
-        chunks.join(g, "chunk")
+    tokenized = docs.select("doc_id", w.alias("w"))
+    per_doc = tokenized.select("doc_id", n_chunks.alias("n_chunks"))
+    chunks = tokenized.select("doc_id", F.explode(F.transform(idxs, chunk_of)).alias("chunk"))
+    solo = (
+        chunks.groupBy("chunk")
+        .agg(F.count("*").alias("gc"), F.min("doc_id").alias("doc_id"))
+        .where(F.col("gc") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            F.sum((F.col("gc") > 1).cast("long")).cast("long").alias("n_dup_chunks"),
-            (
-                F.sum((F.col("gc") > 1).cast("long"))
-                / F.count("*")
-            ).alias("dup_ratio"),
+        .agg(F.count("*").cast("long").alias("n_unique"))
+    )
+    n_dup = F.col("n_chunks") - F.coalesce(F.col("n_unique"), F.lit(0))
+    return (
+        per_doc.join(solo, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            n_dup.cast("long").alias("n_dup_chunks"),
+            (n_dup.cast("double") / F.col("n_chunks")).alias("dup_ratio"),
         )
     )
 

@@ -117,6 +117,19 @@ def test_boilerplate_spans_partial_aggregation(spark):
     assert len(span_shuffles) == 1, plan
 
 
+def test_passage_dedup_single_chunk_shuffle(spark):
+    """The corpus-sized passage table must be shuffled exactly once — the
+    complement form (n_dup = n_chunks - n_unique, with n_chunks read straight
+    off the doc row) removed the occurrence-count join-back's second full
+    chunk exchange."""
+    plan = _plan(Q.q_passage_dedup(spark, SF))
+    chunk_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "chunk#" in ln
+    ]
+    assert len(chunk_shuffles) == 1, plan
+
+
 def test_embedding_ann_ivf_broadcasts_query_probes(spark):
     """IVF candidate generation joins the corpus against BROADCAST query
     probes — the corpus side must not be shuffled on cell."""
