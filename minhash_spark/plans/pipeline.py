@@ -38,13 +38,25 @@ class DedupPipeline:
     T_CLUSTERS = "clusters"
     T_CLUSTERS_ALL = "clusters_all"
 
-    def __init__(self, spark: SparkSession, io: TableIO, cfg: MinHashConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        io: TableIO,
+        cfg: MinHashConfig,
+        cc_driver_threshold: int | None = None,
+    ):
         self.spark = spark
         self.io = io
         self.cfg = cfg.validate()
         self.chash = cfg.config_hash()
         self.stages: list[StageResult] = []
         self._input_fp: str | None = None  # set per run() from the files df
+        # edge-count at/below which connected components solve on the driver
+        # (None = components.connected_components' default). Settable so a
+        # cluster submitter can force the distributed large/small-star path
+        # (cc_driver_threshold=0) or raise the driver cutoff; the planted
+        # E2E test runs both paths and asserts identical clusters.
+        self.cc_driver_threshold = cc_driver_threshold
 
     # -- stages ---------------------------------------------------------
     def _run_stage(
@@ -148,7 +160,12 @@ class DedupPipeline:
 
         def build_clusters():
             e = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
-            comp = components.connected_components(e)
+            kw = (
+                {}
+                if self.cc_driver_threshold is None
+                else {"driver_threshold": self.cc_driver_threshold}
+            )
+            comp = components.connected_components(e, **kw)
             # singletons: representatives with no verified edge
             singles = (
                 sigs.select(F.col("rep_id").alias("node"))

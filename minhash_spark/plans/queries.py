@@ -64,6 +64,10 @@ DOC_CFG = MinHashConfig(
 # byte-identical; binding only at scale.
 EMB_MAX_BUCKET_SIZE = int(os.environ.get("SPARK_GRAFT_EMB_MAX_BUCKET", "2000"))
 SIMHASH_MAX_BUCKET_SIZE = int(os.environ.get("SPARK_GRAFT_SIMHASH_MAX_BUCKET", "2000"))
+# dedup_skew_report cap: deliberately small so the star topology is exercised
+# (and visible in driver artifacts) at sandbox scale, where the real caps
+# above never bind.
+SKEW_REPORT_CAP = int(os.environ.get("SPARK_GRAFT_SKEW_REPORT_CAP", "4"))
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for"]
 LANG_MARKERS = {
@@ -811,6 +815,49 @@ def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_docs long, n_exact_unique long, n_near_dup_pairs long, "
         "n_clusters long, kept_ratio double",
+    )
+
+
+def q_dedup_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew/overflow observability for the LSH star-cap machinery (VERDICT r3
+    item 6): a bucket-size histogram over a SQL-computable bucket domain —
+    the distinct word-3-shingle membership table, the same key family the
+    dedup tokenizer feeds the minhash kernel — with the star-cap accounting
+    the key-generic ``lsh.candidate_pairs`` applies at ``SKEW_REPORT_CAP``.
+
+    Columns: bucket_size, n_buckets at that size, is_star (1 when the size
+    exceeds the cap, i.e. ``candidate_pairs`` would emit a star, not a
+    clique), and edges_emitted — the exact pre-dedup candidate-edge count the
+    topology produces for those buckets (star: n*(size-1); clique:
+    n*size*(size-1)/2). A pytest pins this formula against the ACTUAL
+    ``candidate_pairs`` output on a planted-skew corpus; this query makes the
+    cap's bite visible in driver artifacts every round (it binds at sf0.01:
+    the testdata corpus has shingle buckets up to df=7 > cap=4).
+
+    Scale shape: one shuffle of the exploded shingle table (combiner-reduced
+    groupBy), then a tiny histogram aggregate — no joins, no pair blowup; the
+    report itself is safe to run on a corpus whose pair generation is not."""
+    docs = load(spark, sf_dir, "documents")
+    buckets = _doc_spans(docs, 3).withColumnRenamed("span", "bucket_key")
+    sizes = lsh.bucket_stats(buckets, key_col="bucket_key")
+    cap = SKEW_REPORT_CAP
+    star = (F.col("bucket_size") > cap).cast("long")
+    edges_per_bucket = F.when(
+        F.col("bucket_size") > cap, F.col("bucket_size") - 1
+    ).otherwise(F.expr("bucket_size * (bucket_size - 1) div 2"))
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max(star).alias("is_star"),
+            F.sum(edges_per_bucket).cast("long").alias("edges_emitted"),
+        )
+        .select(
+            F.col("bucket_size").cast("long").alias("bucket_size"),
+            "n_buckets",
+            "is_star",
+            "edges_emitted",
+        )
     )
 
 

@@ -16,6 +16,7 @@ state stores — restart-safe via the streaming checkpoint dir.
 from __future__ import annotations
 
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,8 +36,25 @@ def _history_partitions_exist(spark: SparkSession, sig_dir: str) -> bool:
     nothing, history would silently be treated as absent, and new-vs-history
     edges would be permanently skipped. Path-not-found is the only condition
     treated as "no history"; any other error propagates and fails the batch
-    (at-least-once replay retries it)."""
-    jvm = spark._jvm
+    (at-least-once replay retries it).
+
+    Under Spark Connect there is no py4j gateway (``spark._jvm`` is absent),
+    so for local paths — the only scheme a gateway-less probe can serve —
+    fall back to an os.listdir probe; a remote-scheme sig_dir without a
+    gateway is a configuration we cannot probe and must fail loudly rather
+    than silently dropping history."""
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:
+        scheme = urlparse(sig_dir).scheme
+        if scheme not in ("", "file"):
+            raise RuntimeError(
+                "history probe needs a JVM gateway for non-local sig_dir "
+                f"scheme {scheme!r} (Spark Connect session?)"
+            )
+        local = urlparse(sig_dir).path if scheme == "file" else sig_dir
+        if not os.path.isdir(local):
+            return False
+        return any(n.startswith("batch_id=") for n in os.listdir(local))
     path = jvm.org.apache.hadoop.fs.Path(sig_dir)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):

@@ -31,11 +31,25 @@ _WS_RE = re.compile(r"\s+")
 #     Numeric, ExtendNumLet) joined across UAX#29 mid-word characters:
 #     apostrophe between letters (don't), period/comma between digits
 #     (3.14, 1,000).
+# The four alternation arms are named constants so _STANDARD_RE and the WB4
+# variant are composed from the SAME pieces (ADVICE r3: re-splitting the
+# compiled pattern string on '|' silently miscompiles if an arm ever gains
+# an internal alternation).
+_ARM_CJK = r"[一-鿿㐀-䶿豈-﫿〇]"
+_ARM_KATAKANA = r"[゠-ヿㇰ-ㇿｦ-ﾟ]+"
+_ARM_HIRAGANA = r"[぀-ゟ]+"
+def _word_arm(extend: str = "") -> str:
+    """The word-run arm; ``extend`` widens the run class with characters that
+    are WB4-transparent inside a word (combining marks / format chars).
+    The plain and WB4 variants MUST be built from this one function."""
+    run = r"\w" + (rf"[\w{extend}]*" if extend else "+")
+    return rf"{run}(?:(?:['’](?=[^\W\d_])|(?<=\d)[.,](?=\d)){run})*"
+
+
+_ARM_WORD = _word_arm()
+
 _STANDARD_RE = re.compile(
-    r"[一-鿿㐀-䶿豈-﫿〇]"
-    r"|[゠-ヿㇰ-ㇿｦ-ﾟ]+"
-    r"|[぀-ゟ]+"
-    r"|\w+(?:(?:['’](?=[^\W\d_])|(?<=\d)[.,](?=\d))\w+)*",
+    "|".join([_ARM_CJK, _ARM_KATAKANA, _ARM_HIRAGANA, _ARM_WORD]),
     re.UNICODE,
 )
 
@@ -81,13 +95,13 @@ def _wb4_standard_re():
             if _ud.category(chr(cp)) in ("Mn", "Mc", "Me", "Cf")
         ]
         ext = _collapse_ranges(cps)
-        # same alternation as _STANDARD_RE, with the word-run arms widened
-        cjk, kata, hira, _ = _STANDARD_RE.pattern.split("|", 3)
-        word = (
-            rf"\w[\w{ext}]*"
-            rf"(?:(?:['\u2019](?=[^\W\d_])|(?<=\d)[.,](?=\d))\w[\w{ext}]*)*"
+        # same alternation as _STANDARD_RE, with the word-run arm widened \u2014
+        # composed from the SAME named arm constants (never re-split from a
+        # compiled pattern string)
+        _WB4_RE = re.compile(
+            "|".join([_ARM_CJK, _ARM_KATAKANA, _ARM_HIRAGANA, _word_arm(ext)]),
+            re.UNICODE,
         )
-        _WB4_RE = re.compile("|".join([cjk, kata, hira, word]), re.UNICODE)
     return _WB4_RE
 
 
@@ -106,16 +120,30 @@ def standard_tokens(
     cap (over-long runs split at the cap, like the StandardTokenizer
     scanner, MinHashTokenFilterFactory.java:47-49 default analyzer)."""
     toks = _wb4_standard_re().findall(text)
-    if any(len(t) > max_token_length for t in toks):
+    # Lucene's maxTokenLength counts UTF-16 code units (Java chars), not
+    # codepoints (ADVICE r3): a supplementary-plane character costs 2. For
+    # BMP-only tokens len(t) == UTF-16 length, so the fast path is exact;
+    # over-long runs containing astral chars split at UTF-16-unit budgets
+    # (never inside a codepoint — Python strings can't hold half a
+    # surrogate; the reference scanner likewise refills its buffer on
+    # codepoint boundaries, zzRefill/CharacterUtils.fill).
+    if any(len(t) > max_token_length // 2 for t in toks):
         out: list[str] = []
         for t in toks:
-            if len(t) <= max_token_length:
+            u16 = sum(2 if ord(c) > 0xFFFF else 1 for c in t)
+            if u16 <= max_token_length:
                 out.append(t)
             else:
-                out.extend(
-                    t[i : i + max_token_length]
-                    for i in range(0, len(t), max_token_length)
-                )
+                piece, budget = [], max_token_length
+                for c in t:
+                    w = 2 if ord(c) > 0xFFFF else 1
+                    if w > budget:
+                        out.append("".join(piece))
+                        piece, budget = [], max_token_length
+                    piece.append(c)
+                    budget -= w
+                if piece:
+                    out.append("".join(piece))
         return out
     return toks
 

@@ -562,6 +562,17 @@ def test_standard_tokens_uax29_wb4_and_max_length():
     # max_token_length: 600-char run splits 255/255/90 (Lucene default)
     assert [len(t) for t in standard_tokens("x" * 600)] == [255, 255, 90]
     assert standard_tokens("x" * 600, max_token_length=100) == ["x" * 100] * 6
+    # the cap counts UTF-16 code units like Lucene's maxTokenLength (Java
+    # chars), not codepoints: a supplementary-plane char costs 2 (ADVICE r3)
+    astral = "\U00010400"  # DESERET CAPITAL LONG I, Lo (word char), 2 units
+    toks = standard_tokens(astral * 10, max_token_length=6)
+    assert toks == [astral * 3, astral * 3, astral * 3, astral]
+    # mixed BMP+astral: split point lands where the UNIT budget runs out,
+    # never inside a codepoint
+    toks = standard_tokens("aaaa" + astral * 3, max_token_length=5)
+    assert toks == ["aaaa", astral * 2, astral]
+    # codepoint count may exceed the cap when units do not
+    assert standard_tokens("a" * 7, max_token_length=7) == ["a" * 7]
     # fixture behavior unchanged
     assert standard_tokens("test 1") == ["test", "1"]
     assert standard_tokens("don't stop 3.14 1,000") == ["don't", "stop", "3.14", "1,000"]

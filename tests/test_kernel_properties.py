@@ -155,3 +155,57 @@ def test_oph_batch_equals_naive_reference(docs, seed, size):
     got = kernel.oph_mins(docs, size=size, seed=seed)
     for i, toks in enumerate(docs):
         assert got[i].tolist() == _naive_oph(toks, size, seed), (toks, seed, size)
+
+
+def test_oph_estimator_error_within_bound_of_kseed():
+    """VERDICT r3 item 7: pin the OPH scheme's Jaccard-estimation quality
+    against kseed NUMERICALLY — the densification-correctness check for the
+    10^12-row kernel (OPH is the scale scheme; if rotation fill-in were
+    broken its estimator error would blow past kseed's sampling error).
+
+    Construction: token-set pairs with EXACT known Jaccard (shared m of
+    union u), swept across J in [0.1, 0.9]. Both schemes -> 128-min 1-bit
+    pack -> per-bit compare -> estimate_jaccard. kseed's estimator std at
+    128 bits is ~0.09 (p(1-p)/128 propagated through J = 2p-1); OPH with
+    proper densification is asymptotically comparable."""
+    import numpy as np
+
+    from minhash_spark import kernel
+
+    pairs = []
+    truths = []
+    u = 400
+    for rep in range(6):
+        for m in (40, 120, 200, 280, 360):
+            # disjoint-universe tokens per pair so batch dedup can't alias
+            tag = f"p{len(pairs)}"
+            shared = [f"{tag}_s{i}" for i in range(m)]
+            only_a = [f"{tag}_a{i}" for i in range(u - m)]
+            only_b = [f"{tag}_b{i}" for i in range(u - m)]
+            pairs.append((shared + only_a, shared + only_b))
+            truths.append(m / (2 * u - m))
+    docs = [d for p in pairs for d in p]
+
+    def estimates(mins):
+        packed = kernel.pack_bbit(mins, bit=1)
+        out = []
+        for i in range(len(pairs)):
+            bm = kernel.compare(packed[2 * i].tobytes(), packed[2 * i + 1].tobytes())
+            out.append(kernel.estimate_jaccard(bm, 1))
+        return np.array(out)
+
+    est_kseed = estimates(kernel.minhash_mins(docs, seed=0, size=128))
+    est_oph = estimates(kernel.oph_mins(docs, size=128, seed=0))
+    truth = np.array(truths)
+    rmse_kseed = float(np.sqrt(np.mean((est_kseed - truth) ** 2)))
+    rmse_oph = float(np.sqrt(np.mean((est_oph - truth) ** 2)))
+    # kseed's own sampling RMSE here is ~0.07-0.10; OPH must stay within
+    # 1.5x kseed + 0.02 absolute — densification failures land at 2-10x
+    assert rmse_oph <= 1.5 * rmse_kseed + 0.02, (
+        f"OPH estimator degraded: rmse_oph={rmse_oph:.4f} vs "
+        f"rmse_kseed={rmse_kseed:.4f} (bound 1.5*kseed+0.02) — "
+        f"densification (rotation fill-in) is likely broken"
+    )
+    # and both must be unbiased enough to be usable at all
+    assert abs(float(np.mean(est_kseed - truth))) < 0.05
+    assert abs(float(np.mean(est_oph - truth))) < 0.05

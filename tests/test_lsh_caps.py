@@ -82,3 +82,50 @@ def test_embedding_clusters_survive_star_cap(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(Q, "EMB_MAX_BUCKET_SIZE", 5)
     clusters = Q.q_embedding_near_dup_clusters(spark, p).collect()
     assert len({r["cluster_id"] for r in clusters}) == 1
+
+
+def test_skew_report_formula_matches_actual_candidate_pairs(spark):
+    """dedup_skew_report's edges_emitted column claims the exact pre-dedup
+    candidate count candidate_pairs produces per bucket size (star: size-1,
+    clique: size*(size-1)/2). Pin the formula against the ACTUAL operator on
+    planted buckets with no cross-bucket pair overlap (so dropDuplicates is
+    a no-op and counts must match exactly)."""
+    cap = 5
+    rows = (
+        [(1, i) for i in range(20)]        # star bucket: 19 edges
+        + [(2, 100 + i) for i in range(4)]  # clique: 6 edges
+        + [(3, 200), (3, 201)]              # clique: 1 edge
+    )
+    buckets = spark.createDataFrame(rows, "bucket_key long, doc_id long")
+    pairs, overflow = lsh.candidate_pairs(
+        buckets, max_bucket_size=cap, key_col="bucket_key", id_col="doc_id"
+    )
+    sizes = lsh.bucket_stats(buckets, key_col="bucket_key")
+    hist = {
+        r["bucket_size"]: r
+        for r in sizes.groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .collect()
+    }
+    formula_total = sum(
+        r["n_buckets"] * ((sz - 1) if sz > cap else sz * (sz - 1) // 2)
+        for sz, r in ((r["bucket_size"], r) for r in hist.values())
+        for sz in [r["bucket_size"]]
+    )
+    assert formula_total == 19 + 6 + 1
+    assert pairs.count() == formula_total
+    assert overflow.count() == 1  # only the size-20 bucket is a star
+
+
+def test_skew_report_fires_on_testdata(spark):
+    """The driver-visible report must show the star machinery BINDING at the
+    gate's scale (VERDICT r3 item 6: 'nonzero star-bucket count'): sf0.01
+    has word-3-shingle buckets up to df=7 > SKEW_REPORT_CAP=4."""
+    rows = Q.q_dedup_skew_report(spark, "/root/testdata/sf0.01").collect()
+    stars = [r for r in rows if r["is_star"] == 1]
+    assert stars, rows
+    assert sum(r["n_buckets"] for r in stars) > 0
+    for r in rows:
+        sz = r["bucket_size"]
+        per = (sz - 1) if r["is_star"] else sz * (sz - 1) // 2
+        assert r["edges_emitted"] == r["n_buckets"] * per

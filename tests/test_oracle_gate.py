@@ -1,0 +1,45 @@
+"""Regression tests for the local oracle gate's dtype-class comparison
+(VERDICT r3 item 3): the driver's value hash stringifies cells, so a DuckDB
+HUGEINT aggregate materializing as pandas float64 renders '126.0' vs Spark's
+'126' — invisible to pure value comparison after float formatting, red at the
+driver. The gate must flag an uncast integer sum() in oracle SQL locally."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from check_oracles import dtype_class, dtype_mismatches  # noqa: E402
+
+
+def test_uncast_hugeint_sum_is_flagged():
+    """The exact source_rollup failure class: sum(len(...)) without ::BIGINT
+    comes back HUGEINT -> pandas float64 while Spark emits int64."""
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT unnest([1,2,3]) AS x")
+    uncast = con.sql("SELECT sum(x) AS total FROM t").df()
+    cast = con.sql("SELECT sum(x)::BIGINT AS total FROM t").df()
+    spark_like = pd.DataFrame({"total": pd.array([6], dtype="int64")})
+    # HUGEINT must land in a non-int pandas dtype for this test to be live
+    assert dtype_class(uncast["total"].dtype) != "int", uncast.dtypes
+    assert dtype_mismatches(spark_like, uncast), (spark_like.dtypes, uncast.dtypes)
+    assert not dtype_mismatches(spark_like, cast)
+
+
+def test_dtype_class_families():
+    assert dtype_class("int64") == "int"
+    assert dtype_class("int32") == "int"
+    assert dtype_class("float64") == "float"
+    assert dtype_class("object") == "other"
+    # int32-vs-int64 width differences are NOT flagged (same class)
+    a = pd.DataFrame({"c": pd.array([1], dtype="int32")})
+    b = pd.DataFrame({"c": pd.array([1], dtype="int64")})
+    assert not dtype_mismatches(a, b)
+    # string/object columns never false-positive against numerics via 'other'
+    c = pd.DataFrame({"c": ["x"]})
+    assert not dtype_mismatches(c, b)

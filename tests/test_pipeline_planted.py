@@ -110,3 +110,21 @@ def test_oph_scheme_pipeline(spark, tmp_path):
     got = {r["file_id"]: r["cluster_id"] for r in out.collect()}
     hit = sum(got[a] == got[b] for a, b in truth_pairs)
     assert hit / len(truth_pairs) >= 0.99
+
+
+def test_distributed_cc_path_matches_union_find_in_pipeline(spark, planted, tmp_path):
+    """VERDICT r3 item 5: the code path a 100 TB run would actually take —
+    large/small-star contraction INSIDE plans/pipeline.py (edge count above
+    the driver cutoff) — must produce clusters identical to the driver
+    union-find path, end-to-end on the planted corpus (not just the unit
+    boundary test on synthetic graphs)."""
+    df, _, _ = planted
+    out_uf = DedupPipeline(spark, TableIO(str(tmp_path / "uf")), CFG).run(df)
+    # cc_driver_threshold=0: every nonempty edge set takes the distributed
+    # alternating-star path through build_clusters
+    out_star = DedupPipeline(
+        spark, TableIO(str(tmp_path / "star")), CFG, cc_driver_threshold=0
+    ).run(df)
+    uf = {r["file_id"]: r["cluster_id"] for r in out_uf.collect()}
+    star = {r["file_id"]: r["cluster_id"] for r in out_star.collect()}
+    assert uf == star  # same representative (min id) per file, exactly

@@ -142,6 +142,68 @@ def test_embedding_ann_ivf_broadcasts_query_probes(spark):
     assert not cell_shuffles, plan
 
 
+def test_aqe_skew_join_config_and_shape(spark):
+    """The LSH/verify joins rely on AQE skew-join splitting as the second
+    line of defense behind the star cap; a config regression (AQE or
+    skewJoin disabled) would be silent at sandbox scale and catastrophic at
+    100 TB. Pin (a) the session config and (b) the skew-join-ELIGIBLE shape
+    of the candidate self-join: a shuffled join (SortMergeJoin /
+    ShuffledHashJoin) on the bucket key under an AdaptiveSparkPlan — a
+    broadcast join would be both skew-ineligible and OOM-bound (both sides
+    are corpus-sized)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    from minhash_spark.operators import lsh
+
+    # At sandbox scale Catalyst legitimately broadcasts the tiny bucket
+    # table; the invariant that matters at 100 TB is what it plans when the
+    # table EXCEEDS the broadcast threshold. Simulate the at-scale size
+    # estimate by disabling auto-broadcast and pin the shuffled-join shape.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = Q.load(spark, SF, "documents")
+        buckets = Q._doc_spans(docs, 3).withColumnRenamed("span", "bucket_key")
+        pairs, _ = lsh.candidate_pairs(
+            buckets, 4, key_col="bucket_key", id_col="doc_id"
+        )
+        plan = _plan(pairs)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "AdaptiveSparkPlan" in plan, plan
+    inner = [
+        ln for ln in plan.splitlines()
+        if re.search(r"SortMergeJoin|ShuffledHashJoin", ln) and "Inner" in ln
+    ]
+    assert inner, plan  # the pair self-join shuffles on the bucket key
+    assert "bucket_key" in inner[0], inner
+    # the explicitly-broadcast overflow-key joins must SURVIVE the threshold
+    # change (lsh.candidate_pairs marks them with F.broadcast — a planner
+    # hint, not a size estimate): the anti/semi probes against the tiny
+    # overflow set must never shuffle the corpus-sized bucket table.
+    hinted = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and ("LeftAnti" in ln or "LeftSemi" in ln)
+    ]
+    assert len(hinted) >= 2, plan
+
+
+def test_dedup_skew_report_single_span_shuffle(spark):
+    """The skew report must itself be skew-safe: one combiner-reduced shuffle
+    of the exploded shingle table, a tiny histogram aggregate, and NO joins
+    (the report must be runnable on a corpus whose pair generation is not)."""
+    plan = _plan(Q.q_dedup_skew_report(spark, SF))
+    assert "Join" not in plan, plan
+    key_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "bucket_key" in ln
+    ]
+    assert len(key_shuffles) == 1, plan
+    n_agg = len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan))
+    assert n_agg >= 4, plan  # (partial+final) x (bucket sizes, histogram)
+
+
 def test_event_props_rollup_native_partial_agg(spark):
     """get_json_object must stay JVM-side (no Python eval) and the rollup
     must map-side combine."""

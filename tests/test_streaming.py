@@ -320,3 +320,27 @@ def test_incremental_star_anchors_on_history_min(spark, tmp_path):
     clusters = spark.read.parquet(os.path.join(state, "clusters"))
     assert clusters.select("cluster_id").distinct().count() == 1
     assert clusters.count() == 7
+
+
+def test_history_probe_gateway_less_fallback(tmp_path):
+    """Spark Connect sessions have no py4j gateway (ADVICE r3): the history
+    probe must fall back to a local-filesystem listing for local paths and
+    fail LOUDLY (not 'no history') for remote schemes it cannot probe."""
+    import pytest as _pytest
+
+    from minhash_spark.streaming.incremental import _history_partitions_exist
+
+    class _NoJvmSession:  # simulates a Connect session: no _jvm attribute
+        pass
+
+    s = _NoJvmSession()
+    missing = str(tmp_path / "absent")
+    assert _history_partitions_exist(s, missing) is False
+    d = tmp_path / "sigs"
+    d.mkdir()
+    assert _history_partitions_exist(s, str(d)) is False  # no partitions yet
+    (d / "batch_id=0").mkdir()
+    assert _history_partitions_exist(s, str(d)) is True
+    assert _history_partitions_exist(s, f"file://{d}") is True
+    with _pytest.raises(RuntimeError, match="JVM gateway"):
+        _history_partitions_exist(s, "s3a://bucket/sigs")

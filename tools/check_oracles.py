@@ -17,6 +17,33 @@ import duckdb  # noqa: E402
 from minhash_spark.session import build_session  # noqa: E402
 
 
+def dtype_class(dt) -> str:
+    """Coarse numeric class of a pandas dtype: 'int', 'float', or 'other'.
+
+    The driver's value hash stringifies cell values, so a DuckDB HUGEINT sum
+    that pandas materializes as float64 renders '126.0' while Spark's int64
+    renders '126' — a hash mismatch invisible to pure value comparison after
+    float formatting. Comparing dtype classes per column catches an uncast
+    integer aggregate in oracle_sql() locally (VERDICT r3 item 3)."""
+    s = str(dt)
+    if "int" in s.lower():
+        return "int"
+    if "float" in s.lower() or "double" in s.lower() or "decimal" in s.lower():
+        return "float"
+    return "other"
+
+
+def dtype_mismatches(sdf, od):
+    """Columns whose numeric class differs between Spark and DuckDB frames."""
+    bad = []
+    for c in sdf.columns:
+        if c in od.columns:
+            a, b = dtype_class(sdf[c].dtype), dtype_class(od[c].dtype)
+            if a != b and "other" not in (a, b):
+                bad.append((c, str(sdf[c].dtype), str(od[c].dtype)))
+    return bad
+
+
 def normalize(rows, cols):
     out = []
     for r in rows:
@@ -61,6 +88,10 @@ def main():
             ok = False
         elif len(sdf) != len(od):
             print(f"  {name:28s} COUNT MISMATCH spark={len(sdf)} duck={len(od)}")
+            ok = False
+        elif dtype_mismatches(sdf, od):
+            print(f"  {name:28s} DTYPE MISMATCH {dtype_mismatches(sdf, od)}"
+                  f"  (cast the oracle aggregate, e.g. ::BIGINT)")
             ok = False
         else:
             a = normalize(sdf.to_dict("records"), scols)
