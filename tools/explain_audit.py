@@ -52,6 +52,7 @@ AUDITED = [
     "event_funnel",
     "event_retention",
     "stratified_sample",
+    "dedup_skew_report",
 ]
 
 CHECKS = {
@@ -94,6 +95,22 @@ def main():
         # keep plans readable: the operator tree section only (before Details)
         tree = plan.split("\n\n")[0]
         out.append("```\n" + tree.strip()[:4000] + "\n```\n")
+    out.append(
+        "## DOUBLE-column hash stability\n\n"
+        "Every double column a driver query emits is bit-stable across\n"
+        "partition-count variations (float aggregation is order-dependent, so\n"
+        "a sum(double)-derived column would hash differently between the\n"
+        "sandbox gate and a 1000-executor run). Enforced mechanically, not by\n"
+        "audit: `tests/test_double_stability.py` diffs exact collected values\n"
+        "at shuffle.partitions=1 vs 32 for every `queries()` entry that emits\n"
+        "a double (15+ queries checked). The allowed derivations are exact\n"
+        "int/int division (`avg_chars`, `shared_ratio`), `round(..., k)` on\n"
+        "both engines (`kept_ratio`, `cos_sim`), per-row expressions\n"
+        "(`quality_scores` ratios), and min/max of per-row doubles\n"
+        "(`cluster_cohesion`). The oracle gate additionally fails on\n"
+        "int-vs-float dtype-class divergence (tools/check_oracles.py) so an\n"
+        "uncast DuckDB HUGEINT aggregate is caught locally.\n"
+    )
     (ROOT / "EXPLAIN.md").write_text("\n".join(out))
     print("EXPLAIN.md written")
     spark.stop()
