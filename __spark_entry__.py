@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analytics (training-data pipeline extensions)
         "lang_marker_scores": Q.q_lang_marker_scores,
         "lang_id": Q.q_lang_id,
+        "pii_scan": Q.q_pii_scan,
         "quality_filter": Q.q_quality_filter,
         "source_rollup": Q.q_source_rollup,
         "cluster_representatives": Q.q_cluster_representatives,
@@ -92,8 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "lm_scores": Q.q_lm_scores,
         "common_spans": Q.q_common_spans,
-        "event_retention": Q.q_event_retention,
         # ---- driver window boundary (~50) — stable-green entries below ----
+        "event_retention": Q.q_event_retention,
         "token_counts": Q.q_token_counts,
         "quality_scores": Q.q_quality_scores,
         # relational analytics over the TPC-H-style tables
@@ -325,6 +326,20 @@ def oracle_sql() -> dict[str, str]:
                             ELSE (bucket_size * (bucket_size - 1)) // 2
                        END)::BIGINT AS edges_emitted
             FROM s GROUP BY bucket_size
+        """,
+        "pii_scan": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{Q.PII_EMAIL_RE}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text, '{Q.PII_IPV4_RE}'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text, '{Q.PII_DIGITRUN_RE}'))::BIGINT AS n_digit_runs,
+                   ((len(regexp_extract_all(text, '{Q.PII_EMAIL_RE}'))
+                     + len(regexp_extract_all(text, '{Q.PII_IPV4_RE}'))
+                     + len(regexp_extract_all(text, '{Q.PII_DIGITRUN_RE}'))) > 0)::BIGINT AS has_pii,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{Q.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{Q.PII_IPV4_RE}', '<IP>', 'g'),
+                       '{Q.PII_DIGITRUN_RE}', '<NUM>', 'g') AS redacted_text
+            FROM documents
         """,
         "token_counts": """
             SELECT doc_id,

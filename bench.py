@@ -196,6 +196,7 @@ def main():
     timed("leakage_safe_split_docs", lambda: Q.q_leakage_safe_split(spark, sf_dir))
     timed("source_dedup_report_docs", lambda: Q.q_source_dedup_report(spark, sf_dir))
     timed("dedup_skew_report_docs", lambda: Q.q_dedup_skew_report(spark, sf_dir))
+    timed("pii_scan_docs", lambda: Q.q_pii_scan(spark, sf_dir))
     timed("event_funnel", lambda: Q.q_event_funnel(spark, sf_dir))
     timed("event_retention", lambda: Q.q_event_retention(spark, sf_dir))
     timed("event_props_rollup", lambda: Q.q_event_props_rollup(spark, sf_dir))

@@ -744,6 +744,43 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns shared by the Spark query and the DuckDB oracle — restricted
+# to syntax Java regex and RE2 interpret identically (no lookaround, no
+# backrefs): emails, dotted-quad IPs, long digit runs (phone/ID-like).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_DIGITRUN_RE = "\\b[0-9]{9,}\\b"
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the FineWeb/ROOTS-style curation pass every
+    public training corpus runs): count emails, dotted-quad IPs, and >=9-digit
+    runs per document and emit the redacted text with typed placeholders
+    (<EMAIL>, <IP>, <NUM>), applied in that fixed order so the two engines
+    and any two cluster runs produce byte-identical output.
+
+    Scale shape: pure native regexp_extract_all/regexp_replace — a per-row
+    JVM map fused into the scan (whole-stage codegen, zero shuffle, column
+    pruning to doc_id+text); at 100 TB this runs at scan speed alongside the
+    other per-row curation passes."""
+    docs = load(spark, sf_dir, "documents")
+    n = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))  # noqa: E731
+    red = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_DIGITRUN_RE, "<NUM>")
+    n_email = n(PII_EMAIL_RE).cast("long")
+    n_ip = n(PII_IPV4_RE).cast("long")
+    n_digit = n(PII_DIGITRUN_RE).cast("long")
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ipv4"),
+        n_digit.alias("n_digit_runs"),
+        ((n_email + n_ip + n_digit) > 0).cast("long").alias("has_pii"),
+        red.alias("redacted_text"),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style document quality filter: keep iff n_tokens >= 30 AND
     stopword_ratio >= 0.05; reason = first failing rule in fixed order.

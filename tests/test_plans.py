@@ -75,10 +75,21 @@ def test_event_sessions_single_user_shuffle(spark):
 
 def test_quality_filter_stays_whole_stage_codegen(spark):
     """Native-expression queries must not contain Python evals in the plan."""
-    for q in (Q.q_quality_filter, Q.q_token_counts, Q.q_lang_id, Q.q_source_rollup):
+    for q in (Q.q_quality_filter, Q.q_token_counts, Q.q_lang_id, Q.q_source_rollup,
+              Q.q_pii_scan):
         plan = _plan(q(spark, SF))
         assert "PythonUDF" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan, (
             q.__name__, plan)
+
+
+def test_pii_scan_zero_shuffle_pruned(spark):
+    """pii_scan is a pure per-row map fused into the scan: no Exchange, and
+    the parquet read prunes to doc_id+text."""
+    plan = _formatted(Q.q_pii_scan(spark, SF))
+    assert "Exchange" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
 
 
 def test_repetition_scores_zero_shuffle_native(spark):
