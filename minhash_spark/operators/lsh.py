@@ -82,3 +82,70 @@ def candidate_pairs(
     )
     pairs = pairs_small.unionByName(pairs_star).dropDuplicates(["a_id", "b_id"])
     return pairs, overflow
+
+
+def incremental_candidate_pairs(
+    new_buckets: DataFrame,
+    all_buckets: DataFrame,
+    max_bucket_size: int,
+    key_col: str = "band_hash",
+    id_col: str = "rep_id",
+) -> DataFrame:
+    """Streaming-ingest variant of ``candidate_pairs``: candidates between a
+    micro-batch's NEW members and the accumulated (history + new) bucket
+    table, skew-managed with HISTORY-ANCHORED star caps.
+
+    ``new_buckets``: (key_col, id_col) for this batch's members only.
+    ``all_buckets``: (key_col, id_col, is_new boolean) for history + batch.
+
+    Buckets at or under the cap pair every new member with every other
+    member (new x history plus new x new). Oversized buckets emit star
+    edges only, anchored on the HISTORY-side minimum id when history members
+    exist (falling back to the overall minimum for history-free buckets):
+    ids are hashes, so a new doc routinely displaces the overall minimum,
+    and anchoring on it would connect new docs only to each other — the
+    new-vs-history edges through that bucket would be permanently lost.
+    With the history anchor the chain stays intact across batches: every
+    member, when new, paired with the then-current history minimum, and the
+    history minimum only ever moves to an id that was itself new (already
+    connected) in an earlier batch. Key-generic like ``candidate_pairs`` —
+    the same topology serves MinHash bands and embedding hyperplane buckets.
+
+    Returns distinct (a_id, b_id), a_id < b_id. Used by
+    ``streaming/incremental.py`` (documents) and ``streaming/embeddings.py``
+    (vectors); the anchor semantics are pinned by
+    ``tests/test_streaming.py::test_incremental_star_anchors_on_history_min``.
+    """
+    stats = all_buckets.groupBy(key_col).agg(
+        F.count("*").alias("bucket_size"),
+        F.min(F.when(~F.col("is_new"), F.col(id_col))).alias("hist_min"),
+        F.min(id_col).alias("all_min"),
+    )
+    small = all_buckets.join(
+        stats.where(F.col("bucket_size") <= max_bucket_size).select(key_col),
+        key_col,
+        "left_semi",
+    )
+    cand_small = (
+        new_buckets.alias("a")
+        .join(small.alias("b"), key_col)
+        .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("a_id"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("b_id"),
+        )
+    )
+    star_anchor = F.coalesce(F.col("hist_min"), F.col("all_min"))
+    cand_star = (
+        new_buckets.join(
+            stats.where(F.col("bucket_size") > max_bucket_size)
+            .select(key_col, star_anchor.alias("anchor")),
+            key_col,
+        )
+        .where(F.col(id_col) != F.col("anchor"))
+        .select(
+            F.least(F.col(id_col), F.col("anchor")).alias("a_id"),
+            F.greatest(F.col(id_col), F.col("anchor")).alias("b_id"),
+        )
+    )
+    return cand_small.unionByName(cand_star).dropDuplicates(["a_id", "b_id"])

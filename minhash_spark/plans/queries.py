@@ -508,11 +508,9 @@ def q_lang_marker_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+# shared with the streaming embedding-ingest twin (one hyperplane family —
+# batch and streamed state bucket identically); moved to functions/embeddings
+from minhash_spark.functions.embeddings import cosine_col as _cosine  # noqa: E402
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,30 +548,11 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_TABLES = 32  # L independent hash tables
-ANN_BITS = 4  # hyperplanes (bits) per table
-
-
-def _ann_bucket_udf(n_tables: int = ANN_TABLES, n_bits: int = ANN_BITS, dim: int = 64):
-    """embedding -> array<long> of L bucket keys (table index folded in).
-
-    One Arrow batch = one numpy matmul against all L*b hyperplanes — the
-    vectorized scale path (per-row expression trees would build 128 separate
-    64-term fold expressions). Planes are seeded-deterministic so every
-    executor and the test oracle derive the same family."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def _udf(vecs: pd.Series) -> pd.Series:
-        planes = np.random.default_rng(1234).standard_normal((n_tables * n_bits, dim))
-        V = np.stack(vecs.to_numpy())  # (n, dim)
-        signs = (V @ planes.T) > 0  # (n, L*b)
-        weights = (2 ** np.arange(n_bits, dtype=np.int64))[None, None, :]
-        keys = (signs.reshape(len(V), n_tables, n_bits) * weights).sum(axis=2)
-        keys += (np.arange(n_tables, dtype=np.int64) << np.int64(n_bits))[None, :]
-        return pd.Series(list(keys))
-
-    return _udf
+from minhash_spark.functions.embeddings import (  # noqa: E402
+    ANN_BITS,
+    ANN_TABLES,
+    ann_bucket_udf as _ann_bucket_udf,
+)
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from minhash_spark.config import MinHashConfig
 from minhash_spark.functions.udfs import minhash_struct_udf
-from minhash_spark.operators import verify
+from minhash_spark.operators import lsh, verify
 from minhash_spark.operators.verify import barrier
 
 
@@ -220,51 +220,12 @@ def run_incremental_dedup(
         )
         # skew control, same policy as the batch path (lsh.candidate_pairs):
         # a boilerplate band accumulating m history members would otherwise
-        # emit m pairs per new doc per batch — O(m^2) cumulative. Buckets at
-        # or under the cap pair all-new-x-member; oversized buckets pair new
-        # docs with the bucket REPRESENTATIVE only. The anchor is the
-        # HISTORY-side minimum when history members exist (falling back to
-        # the overall minimum for history-free buckets): rep_ids are hashes,
-        # so a NEW doc routinely displaces the overall minimum, and anchoring
-        # on it would connect new docs only to each other — new-vs-history
-        # edges through that bucket would be permanently lost. The history
-        # anchor keeps the chain intact across batches: every doc, when new,
-        # paired with the then-current history minimum, and the history
-        # minimum only ever moves to an id that was itself new (and thus
-        # already connected) in an earlier batch.
-        bucket_stats = all_buckets.groupBy("band_hash").agg(
-            F.count("*").alias("bucket_size"),
-            F.min(F.when(~F.col("is_new"), F.col("rep_id"))).alias("hist_min"),
-            F.min("rep_id").alias("all_min"),
+        # emit m pairs per new doc per batch — O(m^2) cumulative. The shared
+        # operator caps oversized buckets with HISTORY-ANCHORED star edges
+        # (rationale + anchor-correctness argument in its docstring).
+        cand = lsh.incremental_candidate_pairs(
+            new_buckets, all_buckets, cfg.max_bucket_size
         )
-        small = all_buckets.join(
-            bucket_stats.where(F.col("bucket_size") <= cfg.max_bucket_size).select("band_hash"),
-            "band_hash",
-            "left_semi",
-        )
-        cand_small = (
-            new_buckets.alias("a")
-            .join(small.alias("b"), "band_hash")
-            .where(F.col("a.rep_id") != F.col("b.rep_id"))
-            .select(
-                F.least(F.col("a.rep_id"), F.col("b.rep_id")).alias("a_id"),
-                F.greatest(F.col("a.rep_id"), F.col("b.rep_id")).alias("b_id"),
-            )
-        )
-        star_anchor = F.coalesce(F.col("hist_min"), F.col("all_min"))
-        cand_star = (
-            new_buckets.join(
-                bucket_stats.where(F.col("bucket_size") > cfg.max_bucket_size)
-                .select("band_hash", star_anchor.alias("anchor")),
-                "band_hash",
-            )
-            .where(F.col("rep_id") != F.col("anchor"))
-            .select(
-                F.least(F.col("rep_id"), F.col("anchor")).alias("a_id"),
-                F.greatest(F.col("rep_id"), F.col("anchor")).alias("b_id"),
-            )
-        )
-        cand = cand_small.unionByName(cand_star).dropDuplicates(["a_id", "b_id"])
         sigs_only = union.select("rep_id", "sig")
         contents = union.select("rep_id", "content")
         edges = verify.verify_pairs(cand, sigs_only, contents, cfg)

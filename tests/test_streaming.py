@@ -344,3 +344,65 @@ def test_history_probe_gateway_less_fallback(tmp_path):
     assert _history_partitions_exist(s, f"file://{d}") is True
     with _pytest.raises(RuntimeError, match="JVM gateway"):
         _history_partitions_exist(s, "s3a://bucket/sigs")
+
+
+def test_streaming_embedding_dedup_matches_batch(spark, tmp_path):
+    """Continuous-SemDeDup twin: cross-batch streamed edges and clusters must
+    equal the batch operator's output on the same planted vectors (same
+    hyperplane family, same exact-cosine verify, shared history-anchored
+    candidate topology)."""
+    import numpy as np
+
+    from minhash_spark.plans import queries as Q
+    from minhash_spark.streaming.embeddings import run_incremental_embedding_dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _c in range(5):  # 5 planted clusters of 3 near-identical vectors
+        base = rng.standard_normal(64)
+        for _j in range(3):
+            v = base + 0.01 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _s in range(20):  # noise singletons (random cos ~ N(0, 1/64) << tau)
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    batch_dir = str(tmp_path / "emb_batch")
+    df.write.parquet(f"{batch_dir}/embeddings.parquet")
+    batch_pairs = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in Q.q_embedding_near_dup_pairs(spark, batch_dir).collect()
+    }
+    assert len(batch_pairs) >= 5 * 3  # every planted cluster fully paired
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing, exist_ok=True)
+    # interleaved split so every planted cluster straddles the two batches —
+    # cross-batch (new x history) edges are the path under test
+    df.where(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("append").parquet(landing)
+    run_incremental_embedding_dedup(spark, landing, state, ckpt, maintain_clusters=True)
+    df.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(landing)
+    run_incremental_embedding_dedup(spark, landing, state, ckpt, maintain_clusters=True)
+
+    streamed = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in spark.read.parquet(f"{state}/edges")
+        .select("a_id", "b_id", "cos_sim")
+        .collect()
+    }
+    assert streamed == batch_pairs
+
+    stream_clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{state}/clusters").collect()
+    }
+    batch_clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in Q.q_embedding_near_dup_clusters(spark, batch_dir).collect()
+    }
+    assert stream_clusters == batch_clusters
