@@ -129,3 +129,33 @@ def test_skew_report_fires_on_testdata(spark):
         sz = r["bucket_size"]
         per = (sz - 1) if r["is_star"] else sz * (sz - 1) // 2
         assert r["edges_emitted"] == r["n_buckets"] * per
+
+
+def test_incremental_candidate_pairs_unit(spark):
+    """Direct contract test of the shared streaming-candidate operator
+    (extracted r4 from incremental.py, reused by the embedding stream):
+    small buckets pair new x everyone; oversized buckets emit star edges
+    anchored on the HISTORY minimum (falling back to overall min only when
+    the bucket has no history members)."""
+    cap = 3
+    # bucket 1: small — history {10, 11}, new {2}
+    # bucket 2: oversized — history {20, 21, 22}, new {5, 6} (hist_min = 20)
+    # bucket 3: oversized, history-free — new {30, 31, 32, 33} (all_min = 30)
+    all_rows = (
+        [(1, 10, False), (1, 11, False), (1, 2, True)]
+        + [(2, 20, False), (2, 21, False), (2, 22, False), (2, 5, True), (2, 6, True)]
+        + [(3, 30, True), (3, 31, True), (3, 32, True), (3, 33, True)]
+    )
+    all_b = spark.createDataFrame(all_rows, "bucket long, vec_id long, is_new boolean")
+    new_b = all_b.where("is_new").select("bucket", "vec_id")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in lsh.incremental_candidate_pairs(
+            new_b, all_b, cap, key_col="bucket", id_col="vec_id"
+        ).collect()
+    }
+    assert got == {
+        (2, 10), (2, 11),                      # small: new x history
+        (5, 20), (6, 20),                      # star on HISTORY min (not 5!)
+        (30, 31), (30, 32), (30, 33),          # history-free star on all_min
+    }
