@@ -54,6 +54,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_summary": Q.q_dedup_summary,
         "cluster_cohesion": Q.q_cluster_cohesion,
         "dedup_skew_report": Q.q_dedup_skew_report,
+        # round-4 additions (X50-X53): shard data cards, exact passage
+        # rewrite, entropy quality signals, threshold calibration
+        "shard_manifest": Q.q_shard_manifest,
+        "dedup_rewrite": Q.q_dedup_rewrite,
+        "word_entropy_scores": Q.q_word_entropy_scores,
+        "near_dup_threshold_sweep": Q.q_near_dup_threshold_sweep,
         # code-corpus curation (The Stack / StarCoder-style)
         "code_stats": Q.q_code_stats,
         "secret_scan": Q.q_secret_scan,
@@ -326,6 +332,84 @@ def oracle_sql() -> dict[str, str]:
                             ELSE (bucket_size * (bucket_size - 1)) // 2
                        END)::BIGINT AS edges_emitted
             FROM s GROUP BY bucket_size
+        """,
+        # shard = content hash (sha256 mod 16) so DuckDB reproduces Spark's
+        # membership byte-exactly; integer sums cast BIGINT (HUGEINT lesson)
+        "shard_manifest": f"""
+            WITH b AS (
+              SELECT ('0x' || substr(sha256(text), 1, 8))::UBIGINT
+                       % {Q.N_MANIFEST_SHARDS} AS shard,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+                     length(text) AS len, lang, source
+              FROM documents
+            )
+            SELECT shard::BIGINT AS shard,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_toks)::BIGINT AS total_tokens,
+                   sum(len)::BIGINT AS total_chars,
+                   count(DISTINCT lang)::BIGINT AS n_langs,
+                   count(DISTINCT source)::BIGINT AS n_sources
+            FROM b GROUP BY shard
+        """,
+        # keep-first exact passage rewrite; owner key doc_id*2^20+pos mirrors
+        # queries.py _CHUNK_KEY_BASE (chunks/doc < 2^20 bound documented there)
+        "dedup_rewrite": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, (len(w) + 31) // 32 - 1)) AS pos,
+                     unnest(list_transform(
+                       generate_series(0, (len(w) + 31) // 32 - 1),
+                       i -> array_to_string(w[i*32+1 : i*32+32], ' '))) AS chunk
+              FROM t
+            ), g AS (
+              SELECT chunk, min(doc_id * {Q._CHUNK_KEY_BASE} + pos) AS keep_key
+              FROM c GROUP BY chunk
+            ), k AS (
+              SELECT c.doc_id, c.pos, c.chunk
+              FROM c JOIN g USING (chunk)
+              WHERE c.doc_id * {Q._CHUNK_KEY_BASE} + c.pos = g.keep_key
+            ), nd AS (
+              SELECT doc_id, ((len(w) + 31) // 32)::BIGINT AS n_chunks FROM t
+            ), r AS (
+              SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     string_agg(chunk, ' ' ORDER BY pos) AS text_kept
+              FROM k GROUP BY doc_id
+            )
+            SELECT nd.doc_id, nd.n_chunks,
+                   coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(r.text_kept, '') AS text_kept
+            FROM nd LEFT JOIN r USING (doc_id)
+        """,
+        # entropy rounded to 6 dp on both engines (engine-order float sums);
+        # ttr is one exact int/int division — no rounding needed
+        "word_entropy_scores": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, len(w) AS n, unnest(w) AS term FROM t
+            ), cnt AS (
+              SELECT doc_id, n, term, count(*) AS c
+              FROM tok GROUP BY doc_id, n, term
+            )
+            SELECT doc_id,
+                   max(n)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_distinct,
+                   round(-sum((c::DOUBLE / n) * log2(c::DOUBLE / n)), 6) + 0.0
+                     AS entropy,
+                   count(*)::DOUBLE / max(n) AS ttr
+            FROM cnt GROUP BY doc_id
+        """,
+        "near_dup_threshold_sweep": f"""
+            WITH p AS ({_NEAR_DUP_PAIRS_SQL}),
+            th AS (SELECT unnest([0.80, 0.85, 0.90, 0.95])::DOUBLE AS threshold)
+            SELECT th.threshold AS threshold,
+                   count(p.a_id)::BIGINT AS n_pairs
+            FROM th LEFT JOIN p ON p.jaccard >= th.threshold
+            GROUP BY th.threshold
         """,
         "pii_scan": f"""
             SELECT doc_id,

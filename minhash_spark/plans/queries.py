@@ -2200,3 +2200,171 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("cohort_day", "day_offset")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: shard data cards, exact passage-rewrite dedup (Lee et
+# al. 2021 "Deduplicating Training Data Makes Language Models Better" — the
+# substring-removal counterpart of passage_dedup's reporting pass), word-
+# entropy quality signals, and LSH threshold calibration observability.
+# ---------------------------------------------------------------------------
+
+N_MANIFEST_SHARDS = 16  # data-card granularity (sink shards are X25's job)
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard data card: after sharding a corpus for training, each shard
+    ships with a manifest (docs, token mass, language/source spread) so a
+    consumer can audit balance without rescanning 100 TB. Shard membership is
+    a CONTENT hash (sha256 mod N) — deterministic, partition-independent, and
+    identical to the engine-agnostic bucket rule the sampling queries use, so
+    the DuckDB oracle reproduces it byte-exactly (Spark's xxhash64, which the
+    X25 sink uses, is not DuckDB-computable).
+
+    Scale shape: one partial-agg shuffle over N_MANIFEST_SHARDS groups; the
+    count-distincts are per-shard expand-aggs over low-cardinality columns.
+    Token counts are exact integer sums (cast BIGINT on both engines — the
+    source_rollup HUGEINT lesson)."""
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.sha2("text", 256), 1, 8), 16, 10).cast("long")
+        % N_MANIFEST_SHARDS
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select(
+            shard.alias("shard"),
+            toks.alias("n_toks"),
+            "lang",
+            "source",
+            F.length("text").alias("len"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("len").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )
+
+
+# chunk-owner scalar key: doc_id * 2^20 + pos.  Valid while every doc has
+# < 2^20 chunks (a 33M-token document at 32 tokens/chunk — far beyond any
+# web/code corpus row) and doc_id < 2^43.  Production at larger id domains
+# would use min_by(struct(doc_id, pos)); the scalar key keeps the DuckDB
+# oracle expression identical.
+_CHUNK_KEY_BASE = 1 << 20
+
+
+def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sub-document dedup as a REWRITE (Lee et al. 2021): every
+    32-token chunk keeps only its globally FIRST occurrence (ordered by
+    (doc_id, chunk pos)); later instances — across documents or repeated
+    within one — are dropped and the surviving text is reassembled in
+    original chunk order. passage_dedup reports duplication; this emits the
+    deduplicated corpus a training run would actually consume.
+
+    Scale shape: the chunk table shuffles twice by necessity — once to find
+    each chunk's first owner (combiner-reduced min), once joined back to
+    decide instance survival (a rewrite needs the per-instance verdict, so
+    the join-back passage_dedup avoids is inherent here) — then one doc_id
+    agg rebuilds the text in-row (array_sort over (pos, chunk) structs, no
+    window). Keep-decisions depend only on content + (doc_id, pos), never on
+    partitioning, so the output is deterministic at any parallelism."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(F.col("w")) / F.lit(float(PASSAGE_TOKENS))).cast("long")
+    idxs = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    chunk_of = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("w"), (i * PASSAGE_TOKENS + 1).cast("int"), PASSAGE_TOKENS), " "
+    )
+    tokenized = docs.select("doc_id", w.alias("w"))
+    per_doc = tokenized.select("doc_id", n_chunks.alias("n_chunks"))
+    chunks = tokenized.select(
+        "doc_id", F.posexplode(F.transform(idxs, chunk_of)).alias("pos", "chunk")
+    ).withColumn("okey", F.col("doc_id") * _CHUNK_KEY_BASE + F.col("pos"))
+    first = chunks.groupBy("chunk").agg(F.min("okey").alias("keep_key"))
+    kept = (
+        chunks.join(first, "chunk")
+        .where(F.col("okey") == F.col("keep_key"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )
+    return per_doc.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+    )
+
+
+def q_word_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-unigram Shannon entropy + type-token ratio — the low-entropy /
+    low-TTR rows are template spam and keyboard mash that the ratio-based
+    quality_scores miss. Entirely in-row (transform/filter/aggregate over
+    the token array): zero shuffle, fused into the scan at any scale; the
+    O(n·d) distinct-count loop is bounded by per-row token counts, not
+    corpus size.
+
+    entropy is rounded to 6 dp on BOTH engines (float sums accumulate in
+    engine-specific order — the cos_sim rounding pattern); ttr is one exact
+    int/int division (bit-stable, no rounding needed)."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n"),
+        F.array_distinct("w").alias("dw"),
+    )
+    counts = F.transform(
+        F.col("dw"), lambda c: F.size(F.filter(F.col("w"), lambda x: x == c))
+    )
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c.cast("double") / F.col("n")) * F.log2(c.cast("double") / F.col("n")),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size("dw").cast("long").alias("n_distinct"),
+        # + 0.0 kills IEEE -0.0 (an all-identical-token doc sums to -0.0,
+        # which stringifies as "-0.0" and would hash-diverge from the oracle)
+        (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
+        (F.size("dw").cast("double") / F.col("n")).alias("ttr"),
+    )
+
+
+SWEEP_THRESHOLDS = [0.80, 0.85, 0.90, 0.95]
+
+
+def q_near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration sweep: how many verified near-dup pairs survive
+    at each candidate Jaccard cutoff. The knob-tuning companion to
+    config.suggest_bands — an operator reads this table to pick the dedup
+    threshold BEFORE re-running the pipeline at 100 TB, off edges that were
+    already verified once. Reuses the session edge cache (jaccard is exact,
+    so the DuckDB oracle agrees bitwise); the 4-row threshold side drives a
+    broadcast-sized theta join against the (small) edge set, then a 4-group
+    partial agg — nothing corpus-sized moves."""
+    e = q_near_dup_pairs(spark, sf_dir)
+    th = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    j = th.join(e, e["jaccard"] >= th["threshold"], "left")
+    return j.groupBy("threshold").agg(
+        F.count(e["a_id"]).cast("long").alias("n_pairs")
+    )

@@ -741,3 +741,111 @@ def test_source_dedup_report_invariants(spark):
     for r in rows:
         assert 1 <= r["n_clusters"] <= r["n_exact_unique"] <= r["n_docs"]
         assert 0.0 <= r["near_dup_ratio"] < 1.0
+
+
+def test_shard_manifest_conserves_corpus(spark):
+    """Shard data cards must partition the corpus exactly: doc/token/char
+    masses sum to the corpus totals and shard ids stay in [0, N)."""
+    rows = Q.q_shard_manifest(spark, SF).collect()
+    toks = Q.q_token_counts(spark, SF).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert sum(r["total_tokens"] for r in rows) == sum(t["n_tokens"] for t in toks)
+    assert sum(r["total_chars"] for r in rows) == sum(t["n_chars_actual"] for t in toks)
+    assert all(0 <= r["shard"] < Q.N_MANIFEST_SHARDS for r in rows)
+    assert all(1 <= r["n_langs"] and 1 <= r["n_sources"] for r in rows)
+
+
+def test_dedup_rewrite_keep_first_planted(spark, tmp_path):
+    """Keep-first passage rewrite on a planted corpus: an exact copy of an
+    earlier doc loses everything; a doc sharing one chunk keeps only its
+    novel chunk; within-doc repetition keeps the first instance."""
+    A = " ".join(f"a{i}" for i in range(Q.PASSAGE_TOKENS))
+    B = " ".join(f"b{i}" for i in range(Q.PASSAGE_TOKENS))
+    C = " ".join(f"c{i}" for i in range(Q.PASSAGE_TOKENS))
+    D = " ".join(f"d{i}" for i in range(Q.PASSAGE_TOKENS))
+    data = [
+        (0, f"{A} {B}"),   # original: keeps both chunks
+        (1, f"{A} {B}"),   # exact copy: keeps nothing
+        (2, f"{A} {C}"),   # shares chunk A: keeps only C
+        (3, f"{D} {D}"),   # within-doc repeat: keeps first D
+    ]
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "rw")
+    spark.createDataFrame(data, "doc_id long, text string").withColumn(
+        "lang", F.lit("xx")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text").cast("long")).write.parquet(f"{p}/documents.parquet")
+    out = {r["doc_id"]: r for r in Q.q_dedup_rewrite(spark, p).collect()}
+    assert out[0]["n_kept"] == 2 and out[0]["text_kept"] == f"{A} {B}"
+    assert out[1]["n_kept"] == 0 and out[1]["text_kept"] == ""
+    assert out[2]["n_kept"] == 1 and out[2]["text_kept"] == C
+    assert out[3]["n_kept"] == 1 and out[3]["text_kept"] == D
+    assert all(r["n_kept"] <= r["n_chunks"] for r in out.values())
+
+
+def test_dedup_rewrite_driver_corpus_invariants(spark):
+    """On the sf0.001 corpus: exact-dup partners (larger doc_id) lose every
+    chunk; kept counts never exceed chunk counts; total kept chunks equals
+    the number of DISTINCT chunk texts corpus-wide (each survives exactly
+    once — the Lee et al. invariant)."""
+    out = {r["doc_id"]: r for r in Q.q_dedup_rewrite(spark, SF).collect()}
+    for p in Q.q_exact_dup_pairs(spark, SF).collect():
+        assert out[max(p["a_id"], p["b_id"])]["n_kept"] == 0
+    assert all(0 <= r["n_kept"] <= r["n_chunks"] for r in out.values())
+    import pyspark.sql.functions as F
+
+    docs = Q.load(spark, SF, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(F.col("w")) / F.lit(float(Q.PASSAGE_TOKENS))).cast("long")
+    idxs = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    chunk_of = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("w"), (i * Q.PASSAGE_TOKENS + 1).cast("int"), Q.PASSAGE_TOKENS), " "
+    )
+    n_distinct = (
+        docs.select(w.alias("w"))
+        .select(F.explode(F.transform(idxs, chunk_of)).alias("chunk"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_kept"] for r in out.values()) == n_distinct
+
+
+def test_word_entropy_bounds_and_degenerate_docs(spark, tmp_path):
+    """Entropy ∈ [0, log2(n_tokens)]; an all-identical-token doc scores
+    exactly 0.0 (not IEEE -0.0); an all-distinct doc scores log2(n); ttr is
+    the exact rational n_distinct/n_tokens."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    data = [
+        (0, " ".join(["spam"] * 64)),                  # zero entropy
+        (1, " ".join(f"w{i}" for i in range(64))),     # max entropy: log2(64)=6
+        (2, "the cat sat on the mat the end"),
+    ]
+    p = str(tmp_path / "ent")
+    spark.createDataFrame(data, "doc_id long, text string").withColumn(
+        "lang", F.lit("xx")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text").cast("long")).write.parquet(f"{p}/documents.parquet")
+    out = {r["doc_id"]: r for r in Q.q_word_entropy_scores(spark, p).collect()}
+    assert out[0]["entropy"] == 0.0 and math.copysign(1.0, out[0]["entropy"]) == 1.0
+    assert out[0]["ttr"] == 1 / 64
+    assert out[1]["entropy"] == 6.0 and out[1]["ttr"] == 1.0
+    for r in out.values():
+        assert 0.0 <= r["entropy"] <= math.log2(r["n_tokens"]) + 5e-7  # 6-dp round-up
+        assert r["ttr"] == r["n_distinct"] / r["n_tokens"]
+    # corpus-wide sanity at sf0.001
+    rows = Q.q_word_entropy_scores(spark, SF).collect()
+    assert len(rows) == 500
+    assert all(0.0 <= r["entropy"] <= math.log2(max(r["n_tokens"], 2)) + 5e-7 for r in rows)
+
+
+def test_threshold_sweep_monotone_and_anchored(spark):
+    """Pair counts are non-increasing in the threshold, and the lowest
+    threshold (the pipeline's own 0.8 cutoff) recovers exactly the verified
+    near-dup pair count."""
+    sweep = {r["threshold"]: r["n_pairs"] for r in Q.q_near_dup_threshold_sweep(spark, SF).collect()}
+    assert sorted(sweep) == Q.SWEEP_THRESHOLDS
+    counts = [sweep[t] for t in sorted(sweep)]
+    assert counts == sorted(counts, reverse=True)
+    assert sweep[0.80] == Q.q_near_dup_pairs(spark, SF).count()
