@@ -53,6 +53,12 @@ AUDITED = [
     "event_retention",
     "stratified_sample",
     "dedup_skew_report",
+    "shard_manifest",
+    "dedup_rewrite",
+    "word_entropy_scores",
+    # near_dup_threshold_sweep omitted: it reads the session edge cache
+    # (localCheckpointed), so the captured plan is lineage-truncated (same
+    # reason as fingerprint_matches above); its join side is 4 literal rows
 ]
 
 CHECKS = {
