@@ -60,6 +60,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rewrite": Q.q_dedup_rewrite,
         "word_entropy_scores": Q.q_word_entropy_scores,
         "near_dup_threshold_sweep": Q.q_near_dup_threshold_sweep,
+        # round-4 additions (X54-X56): quality-weighted mixing, corpus data
+        # cards (length distribution, unique-content growth)
+        "quality_weighted_sample": Q.q_quality_weighted_sample,
+        "length_histogram": Q.q_length_histogram,
+        "dedup_growth_curve": Q.q_dedup_growth_curve,
         # code-corpus curation (The Stack / StarCoder-style)
         "code_stats": Q.q_code_stats,
         "secret_scan": Q.q_secret_scan,
@@ -410,6 +415,61 @@ def oracle_sql() -> dict[str, str]:
                    count(p.a_id)::BIGINT AS n_pairs
             FROM th LEFT JOIN p ON p.jaccard >= th.threshold
             GROUP BY th.threshold
+        """,
+        # tier membership by integer cross-multiplication (n_stop*10 vs
+        # k*n_tokens) — mirrors QW_TIERS_PERMILLE in queries.py
+        "quality_weighted_sample": f"""
+            WITH t AS (
+              SELECT doc_id, lang, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), s AS (
+              SELECT doc_id, lang, text,
+                     len(w) AS n_tokens,
+                     len(list_filter(w, x -> x IN
+                         ('the','a','of','and','to','in','is','for'))) AS n_stop
+              FROM t
+            )
+            SELECT doc_id, lang,
+                   (CASE WHEN n_stop * 10 >= n_tokens * 3 THEN {Q.QW_TIERS_PERMILLE[0]}
+                         WHEN n_stop * 10 >= n_tokens THEN {Q.QW_TIERS_PERMILLE[1]}
+                         ELSE {Q.QW_DEFAULT_PERMILLE} END)::BIGINT AS keep_permille,
+                   (('0x' || substr(sha256(text), 1, 8))::UBIGINT % 1000)::BIGINT
+                     AS qw_bucket
+            FROM s
+            WHERE ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 1000
+                  < CASE WHEN n_stop * 10 >= n_tokens * 3 THEN {Q.QW_TIERS_PERMILLE[0]}
+                         WHEN n_stop * 10 >= n_tokens THEN {Q.QW_TIERS_PERMILLE[1]}
+                         ELSE {Q.QW_DEFAULT_PERMILLE} END
+        """,
+        # log2 buckets via integer bit length (length(bin(n))) — no float
+        # log2, so bucket edges can never straddle a libm ulp
+        "length_histogram": """
+            WITH b AS (
+              SELECT CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(bin(length(text))) END AS len_bucket,
+                     length(text) AS n
+              FROM documents
+            )
+            SELECT len_bucket::BIGINT AS len_bucket,
+                   count(*)::BIGINT AS n_docs,
+                   min(n)::BIGINT AS min_len,
+                   max(n)::BIGINT AS max_len,
+                   sum(n)::BIGINT AS total_chars
+            FROM b GROUP BY len_bucket
+        """,
+        "dedup_growth_curve": """
+            WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+            q AS (SELECT unnest([1, 2, 3, 4]) AS quarter),
+            d AS (SELECT doc_id, sha256(text) AS h FROM documents)
+            SELECT q.quarter::BIGINT AS quarter,
+                   (((m.mx + 1) * q.quarter) // 4)::BIGINT AS threshold,
+                   count(CASE WHEN d.doc_id < ((m.mx + 1) * q.quarter) // 4
+                              THEN 1 END)::BIGINT AS n_docs,
+                   count(DISTINCT CASE WHEN d.doc_id < ((m.mx + 1) * q.quarter) // 4
+                                       THEN d.h END)::BIGINT AS n_unique_texts
+            FROM d, q, m
+            GROUP BY q.quarter, m.mx
         """,
         "pii_scan": f"""
             SELECT doc_id,

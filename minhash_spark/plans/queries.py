@@ -2368,3 +2368,96 @@ def q_near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("threshold").agg(
         F.count(e["a_id"]).cast("long").alias("n_pairs")
     )
+
+
+# quality-weighted keep rates in per-mille, decided by INTEGER comparisons
+# (n_stop * 10 vs n_tokens — never a float ratio) so Spark and the oracle
+# agree bit-exactly on tier membership at any scale
+QW_TIERS_PERMILLE = (1000, 500)  # stopword_ratio >= 0.3 / >= 0.1
+QW_DEFAULT_PERMILLE = 100
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: high-stopword-ratio (prose-like)
+    docs keep at 100%, mid-tier at 50%, mash/template rows at 10% — the
+    quality-pruned data-mixing pass that follows scoring in a curation
+    pipeline. The keep decision is a CONTENT-hash bucket vs a tier rate
+    decided by integer cross-multiplication (n_stop*10 >= 3*n_tokens, never
+    a float division), so membership is deterministic, engine-independent,
+    partitioning-independent, and exact-dup-consistent. Pure per-row
+    predicate: zero shuffle, fused into the scan at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    rate = (
+        F.when(n_stop * 10 >= n_tokens * 3, F.lit(QW_TIERS_PERMILLE[0]))
+        .when(n_stop * 10 >= n_tokens, F.lit(QW_TIERS_PERMILLE[1]))
+        .otherwise(F.lit(QW_DEFAULT_PERMILLE))
+    )
+    bucket = F.conv(F.substring(F.sha2("text", 256), 1, 8), 16, 10).cast("long") % 1000
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            rate.cast("long").alias("keep_permille"),
+            bucket.alias("qw_bucket"),
+        )
+        .where(F.col("qw_bucket") < F.col("keep_permille"))
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution data card: docs bucketed by the BIT LENGTH
+    of their character count (log2 buckets without touching floating-point —
+    length(bin(n)) is exact integer arithmetic on both engines, where a
+    float log2 could straddle a bucket boundary by one ulp between libms).
+    One partial-agg shuffle over ~20 buckets; the length expression fuses
+    into the scan."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    bucket = F.when(n == 0, F.lit(0)).otherwise(F.length(F.bin(n.cast("long"))))
+    return (
+        docs.select(bucket.cast("long").alias("len_bucket"), n.alias("n"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n").cast("long").alias("min_len"),
+            F.max("n").cast("long").alias("max_len"),
+            F.sum("n").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def q_dedup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-content growth curve (Heaps-law data card): at each corpus
+    quarter-prefix (by doc_id), how many docs vs distinct texts — the curve
+    an operator reads to decide whether MORE crawl is still adding novel
+    data or just re-crawling duplicates. Prefix thresholds are integer
+    arithmetic off max(doc_id) ((mx+1)*k div 4), so both engines cut
+    identically. Scale shape: the 4-quarter explode multiplies the
+    (doc_id, sha) projection — 4x a two-column scan, combiner-reduced into
+    a 4-group expand-agg; the 1-row max(doc_id) side is a broadcast."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    quarters = F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias("quarter")
+    e = docs.crossJoin(F.broadcast(mx)).select("doc_id", "h", "mx", quarters)
+    th = F.expr("((mx + 1) * quarter) div 4")
+    keep = F.col("doc_id") < th
+    return (
+        e.select("quarter", th.alias("threshold"), "doc_id", "h", keep.alias("k"))
+        .groupBy("quarter", "threshold")
+        .agg(
+            F.count(F.when(F.col("k"), 1)).cast("long").alias("n_docs"),
+            F.countDistinct(F.when(F.col("k"), F.col("h"))).cast("long").alias("n_unique_texts"),
+        )
+        .select(
+            F.col("quarter").cast("long").alias("quarter"),
+            F.col("threshold").cast("long").alias("threshold"),
+            "n_docs",
+            "n_unique_texts",
+        )
+    )

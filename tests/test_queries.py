@@ -849,3 +849,60 @@ def test_threshold_sweep_monotone_and_anchored(spark):
     counts = [sweep[t] for t in sorted(sweep)]
     assert counts == sorted(counts, reverse=True)
     assert sweep[0.80] == Q.q_near_dup_pairs(spark, SF).count()
+
+
+def test_quality_weighted_sample_tiers_and_determinism(spark, tmp_path):
+    """Tier membership is decided by integer cross-multiplication: an
+    all-stopword doc lands in the 1000-permille tier (always kept); a
+    no-stopword mash doc gets the 100-permille default. Repeated runs are
+    identical (content-hash decision)."""
+    import pyspark.sql.functions as F
+
+    data = [
+        (0, "the of and to in is for the a of"),     # all stopwords -> 1000
+        (1, "zqx wvu tsr qpo nml kji hgf edc ba9"),  # none -> 100
+        (2, "the cat sat on a mat with the dog near a log here now"),
+    ]
+    p = str(tmp_path / "qw")
+    spark.createDataFrame(data, "doc_id long, text string").withColumn(
+        "lang", F.lit("xx")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text").cast("long")).write.parquet(f"{p}/documents.parquet")
+    out = {r["doc_id"]: r for r in Q.q_quality_weighted_sample(spark, p).collect()}
+    assert 0 in out and out[0]["keep_permille"] == 1000  # always kept
+    if 1 in out:
+        assert out[1]["keep_permille"] == 100
+    a = sorted(r["doc_id"] for r in Q.q_quality_weighted_sample(spark, SF).collect())
+    b = sorted(r["doc_id"] for r in Q.q_quality_weighted_sample(spark, SF).collect())
+    assert a == b and 0 < len(a) < 500
+    for r in Q.q_quality_weighted_sample(spark, SF).collect():
+        assert r["qw_bucket"] < r["keep_permille"]
+
+
+def test_length_histogram_partitions_corpus(spark):
+    """Buckets are bit lengths: every doc with 2^(b-1) <= len < 2^b lands in
+    bucket b; masses sum to the corpus."""
+    rows = Q.q_length_histogram(spark, SF).collect()
+    toks = Q.q_token_counts(spark, SF).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert sum(r["total_chars"] for r in rows) == sum(t["n_chars_actual"] for t in toks)
+    for r in rows:
+        b = r["len_bucket"]
+        if b > 0:
+            assert 2 ** (b - 1) <= r["min_len"] <= r["max_len"] <= 2**b - 1
+
+
+def test_dedup_growth_curve_monotone_and_anchored(spark):
+    """Doc and unique-text counts are non-decreasing in the prefix quarter;
+    the full-corpus point matches the exact distinct-text count."""
+    import pyspark.sql.functions as F
+
+    rows = sorted(Q.q_dedup_growth_curve(spark, SF).collect(), key=lambda r: r["quarter"])
+    assert [r["quarter"] for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_docs"] <= b["n_docs"] and a["n_unique_texts"] <= b["n_unique_texts"]
+        assert a["threshold"] < b["threshold"]
+        assert a["n_unique_texts"] <= a["n_docs"]
+    full = rows[-1]
+    docs = Q.load(spark, SF, "documents")
+    assert full["n_docs"] == 500
+    assert full["n_unique_texts"] == docs.select(F.sha2("text", 256)).distinct().count()
