@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_weighted_sample": Q.q_quality_weighted_sample,
         "length_histogram": Q.q_length_histogram,
         "dedup_growth_curve": Q.q_dedup_growth_curve,
+        # X57: sketch-based profile (rows-only — HLL/quantile sketches are
+        # engine-specific; error vs exact pinned by pytest)
+        "approx_corpus_profile": Q.q_approx_corpus_profile,
         # code-corpus curation (The Stack / StarCoder-style)
         "code_stats": Q.q_code_stats,
         "secret_scan": Q.q_secret_scan,

@@ -2461,3 +2461,41 @@ def q_dedup_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unique_texts",
         )
     )
+
+
+HLL_RSD = 0.01  # HyperLogLog++ target relative standard deviation
+
+
+def q_approx_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-source corpus profile — the 100 TB scale path for
+    data cards: exact countDistinct shuffles every distinct value; the
+    HyperLogLog++ sketch (approx_count_distinct, rsd=1%) and the
+    percentile_approx quantile sketch are FIXED-SIZE, map-side-combinable
+    state, so the whole profile is one partial-agg shuffle of ~KB-sized
+    sketches per source regardless of corpus size (the exact twin is
+    source_dedup_report / source_rollup, driver-green — this is the variant
+    you run when exactness stops being worth a corpus-wide shuffle).
+
+    Rows-only by design: sketch estimates are engine-specific (DuckDB's
+    approx_count_distinct uses a different HLL seeding), so there is no
+    bit-exact oracle; the estimator error vs the exact count is pinned by
+    pytest at <= 5*rsd instead."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select("source", F.sha2("text", 256).alias("h"), toks.alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.approx_count_distinct("h", HLL_RSD).cast("long").alias("approx_unique_texts"),
+            F.percentile_approx("n_toks", [0.5, 0.9, 0.99], 10000).alias("tok_quantiles"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "approx_unique_texts",
+            F.col("tok_quantiles")[0].cast("long").alias("p50_tokens"),
+            F.col("tok_quantiles")[1].cast("long").alias("p90_tokens"),
+            F.col("tok_quantiles")[2].cast("long").alias("p99_tokens"),
+        )
+    )

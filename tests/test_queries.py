@@ -906,3 +906,24 @@ def test_dedup_growth_curve_monotone_and_anchored(spark):
     docs = Q.load(spark, SF, "documents")
     assert full["n_docs"] == 500
     assert full["n_unique_texts"] == docs.select(F.sha2("text", 256)).distinct().count()
+
+
+def test_approx_corpus_profile_error_bounds(spark):
+    """HLL cardinality within 5*rsd of the exact per-source distinct count;
+    quantile sketch values are actual data points in the right order."""
+    import pyspark.sql.functions as F
+
+    rows = {r["source"]: r for r in Q.q_approx_corpus_profile(spark, SF).collect()}
+    docs = Q.load(spark, SF, "documents")
+    exact = {
+        r["source"]: r["u"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct(F.sha2("text", 256)).alias("u"))
+        .collect()
+    }
+    assert set(rows) == set(exact) and len(rows) > 1
+    for src, r in rows.items():
+        rel_err = abs(r["approx_unique_texts"] - exact[src]) / exact[src]
+        assert rel_err <= 5 * Q.HLL_RSD, (src, r["approx_unique_texts"], exact[src])
+        assert 0 < r["p50_tokens"] <= r["p90_tokens"] <= r["p99_tokens"]
+        assert r["approx_unique_texts"] <= r["n_docs"] * (1 + 5 * Q.HLL_RSD)
