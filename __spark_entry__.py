@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X57: sketch-based profile (rows-only — HLL/quantile sketches are
         # engine-specific; error vs exact pinned by pytest)
         "approx_corpus_profile": Q.q_approx_corpus_profile,
+        # X58: suffix-array longest self-repeat (rows-only — suffix arrays
+        # are not DuckDB-expressible; pinned vs brute force in tests/test_suffix.py)
+        "repeated_substring_scores": Q.q_repeated_substring_scores,
         # code-corpus curation (The Stack / StarCoder-style)
         "code_stats": Q.q_code_stats,
         "secret_scan": Q.q_secret_scan,

@@ -2499,3 +2499,51 @@ def q_approx_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tok_quantiles")[2].cast("long").alias("p99_tokens"),
         )
     )
+
+
+def q_repeated_substring_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest self-repeated substring per document via a from-scratch
+    suffix array + Kasai LCP (operators/suffix.py) — the character-level
+    generalisation of repetition_scores' fixed-n duplicated-n-gram ratios
+    (the north rule's suffix-array machinery, applied where an index
+    actually pays: one pass answers ALL substring lengths at once, where
+    n-gram ratios cap at fixed n). High repeat_ratio = minified bundles,
+    log spam, copy-pasted blocks.
+
+    Scale shape: Arrow-batched mapInPandas, one partition-local pass — no
+    shuffle, no UDF joins; per-row cost O(len log len). Rows-only: suffix
+    arrays are not DuckDB-expressible; construction + LCP are pinned against
+    a brute-force oracle by pytest (tests/test_suffix.py)."""
+    import pandas as pd  # noqa: F401
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("max_repeat_len", T.LongType()),
+            T.StructField("repeat_ratio", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        from minhash_spark.operators.suffix import longest_repeat_len
+
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            lens = texts.str.len().astype("int64")
+            reps = texts.map(longest_repeat_len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": lens,
+                    "max_repeat_len": reps,
+                    # exact int/int division: partition-invariant double
+                    "repeat_ratio": np.where(lens > 0, reps / lens.clip(lower=1), 0.0),
+                }
+            )
+
+    return docs.mapInPandas(score, schema)
