@@ -209,6 +209,16 @@ def main():
     timed("passage_dedup_docs", lambda: Q.q_passage_dedup(spark, sf_dir))
     timed("tfidf_top_terms_docs", lambda: Q.q_tfidf_top_terms(spark, sf_dir))
     timed("lm_scores_docs", lambda: Q.q_lm_scores(spark, sf_dir))
+    # round-4 additions (X50-X58) — excluded from the r3-comparable subtotal
+    timed("shard_manifest_docs", lambda: Q.q_shard_manifest(spark, sf_dir))
+    timed("dedup_rewrite_docs", lambda: Q.q_dedup_rewrite(spark, sf_dir))
+    timed("word_entropy_docs", lambda: Q.q_word_entropy_scores(spark, sf_dir))
+    timed("threshold_sweep_docs", lambda: Q.q_near_dup_threshold_sweep(spark, sf_dir))
+    timed("quality_weighted_docs", lambda: Q.q_quality_weighted_sample(spark, sf_dir))
+    timed("length_histogram_docs", lambda: Q.q_length_histogram(spark, sf_dir))
+    timed("dedup_growth_curve_docs", lambda: Q.q_dedup_growth_curve(spark, sf_dir))
+    timed("approx_profile_docs", lambda: Q.q_approx_corpus_profile(spark, sf_dir))
+    timed("repeated_substring_docs", lambda: Q.q_repeated_substring_scores(spark, sf_dir))
 
     # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
     # reported min), so the comparable "first-run" total keeps the pipeline
@@ -221,6 +231,22 @@ def main():
         2,
     )
     total_min = round(sum(t["min"] for t in timings.values()), 2)
+    # like-for-like round comparison: the suite GREW in round 4 (9 new
+    # queries), so the headline total is not comparable to BENCH_r03 — this
+    # subtotal restricts to the round-3 query set
+    r4_new = {
+        "shard_manifest_docs", "dedup_rewrite_docs", "word_entropy_docs",
+        "threshold_sweep_docs", "quality_weighted_docs", "length_histogram_docs",
+        "dedup_growth_curve_docs", "approx_profile_docs", "repeated_substring_docs",
+    }
+    total_first_r3cmp = round(
+        sum(
+            t["min"] if name == "dedup_pipeline_planted" else t["runs"][0]
+            for name, t in timings.items()
+            if name not in r4_new
+        ),
+        2,
+    )
     # The driver records only the LAST 2000 chars of stdout and parses the
     # JSON line from that window — round 3's line carried per-query runs
     # arrays, grew past 2000 chars, and BENCH_r03.json landed with
@@ -231,6 +257,7 @@ def main():
         "metric": "headline_queries_total_wall",
         "value": total_first,
         "value_min": total_min,
+        "value_r3_comparable": total_first_r3cmp,
         "unit": "sec",
         "query_runs_per_query": n_query_runs,
         "queries": timings,
@@ -248,6 +275,7 @@ def main():
         "metric": "headline_queries_total_wall",
         "value": total_first,
         "value_min": total_min,
+        "value_r3_comparable": total_first_r3cmp,
         "unit": "sec",
         "queries": {
             name: (t["min"] if name == "dedup_pipeline_planted" else t["runs"][0])

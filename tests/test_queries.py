@@ -927,3 +927,19 @@ def test_approx_corpus_profile_error_bounds(spark):
         assert rel_err <= 5 * Q.HLL_RSD, (src, r["approx_unique_texts"], exact[src])
         assert 0 < r["p50_tokens"] <= r["p90_tokens"] <= r["p99_tokens"]
         assert r["approx_unique_texts"] <= r["n_docs"] * (1 + 5 * Q.HLL_RSD)
+
+
+def test_profile_cli_builds_consistent_card(spark):
+    """jobs/profile.py: the data card's corpus totals agree across sections
+    (shards vs length histogram) and every section is bounded-size."""
+    from jobs.profile import build_profile
+
+    card = build_profile(spark, SF)
+    assert card["n_docs"] == 500
+    assert sum(b["n_docs"] for b in card["length_histogram"]) == card["n_docs"]
+    assert sum(b["total_chars"] for b in card["length_histogram"]) == card["total_chars"]
+    assert card["unique_content_growth"][-1]["n_docs"] == card["n_docs"]
+    assert sum(t["n_kept"] for t in card["quality_tier_kept"]) < card["n_docs"]
+    assert len(card["source_profiles"]) >= 2
+    for s in card["source_profiles"]:
+        assert s["approx_unique_texts"] <= s["n_docs"] * 1.05
