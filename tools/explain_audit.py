@@ -56,6 +56,11 @@ AUDITED = [
     "shard_manifest",
     "dedup_rewrite",
     "word_entropy_scores",
+    "quality_weighted_sample",
+    "length_histogram",
+    "dedup_growth_curve",
+    "approx_corpus_profile",
+    "repeated_substring_scores",
     # near_dup_threshold_sweep omitted: it reads the session edge cache
     # (localCheckpointed), so the captured plan is lineage-truncated (same
     # reason as fingerprint_matches above); its join side is 4 literal rows
