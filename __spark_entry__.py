@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X58: suffix-array longest self-repeat (rows-only — suffix arrays
         # are not DuckDB-expressible; pinned vs brute force in tests/test_suffix.py)
         "repeated_substring_scores": Q.q_repeated_substring_scores,
+        # X59: incremental cluster assignment (daily-increment serving path)
+        "cluster_assign": Q.q_cluster_assign,
         # code-corpus curation (The Stack / StarCoder-style)
         "code_stats": Q.q_code_stats,
         "secret_scan": Q.q_secret_scan,
@@ -414,6 +416,48 @@ def oracle_sql() -> dict[str, str]:
                      AS entropy,
                    count(*)::DOUBLE / max(n) AS ttr
             FROM cnt GROUP BY doc_id
+        """,
+        # incremental assignment: existing-only clusters via the same
+        # recursive CTE restricted to the non-incoming slice; crossing edges
+        # assign; count(DISTINCT cluster) is the would-merge signal
+        "cluster_assign": f"""
+            WITH RECURSIVE p0 AS ({_NEAR_DUP_PAIRS_SQL}),
+            ex_pairs AS (
+              SELECT a_id, b_id FROM p0
+              WHERE a_id % 10 <> 7 AND b_id % 10 <> 7
+            ),
+            und AS (
+              SELECT a_id AS u, b_id AS v FROM ex_pairs
+              UNION ALL
+              SELECT b_id AS u, a_id AS v FROM ex_pairs
+            ),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS comp FROM documents
+              WHERE doc_id % 10 <> 7
+              UNION
+              SELECT und.v AS node, reach.comp
+              FROM reach JOIN und ON und.u = reach.node
+            ),
+            clusters AS (
+              SELECT node AS doc_id, min(comp) AS cluster_id
+              FROM reach GROUP BY node
+            ),
+            crossing AS (
+              SELECT CASE WHEN a_id % 10 = 7 THEN a_id ELSE b_id END AS new_id,
+                     CASE WHEN a_id % 10 = 7 THEN b_id ELSE a_id END AS ex_id
+              FROM p0 WHERE (a_id % 10 = 7) <> (b_id % 10 = 7)
+            ),
+            m AS (
+              SELECT crossing.new_id, clusters.cluster_id
+              FROM crossing JOIN clusters ON clusters.doc_id = crossing.ex_id
+            )
+            SELECT n.doc_id AS new_id,
+                   coalesce(min(m.cluster_id), -1)::BIGINT AS assigned_cluster,
+                   count(m.cluster_id)::BIGINT AS n_dup_neighbors,
+                   count(DISTINCT m.cluster_id)::BIGINT AS n_clusters_hit
+            FROM documents n LEFT JOIN m ON m.new_id = n.doc_id
+            WHERE n.doc_id % 10 = 7
+            GROUP BY n.doc_id
         """,
         "near_dup_threshold_sweep": f"""
             WITH p AS ({_NEAR_DUP_PAIRS_SQL}),

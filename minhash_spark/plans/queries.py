@@ -2547,3 +2547,62 @@ def q_repeated_substring_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(score, schema)
+
+
+# the "incoming batch" slice for cluster_assign: a deterministic tenth of the
+# corpus plays the role of today's crawl increment
+ASSIGN_NEW_MOD, ASSIGN_NEW_REM = 10, 7
+
+
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster assignment — the daily-increment serving path:
+    assign each INCOMING doc (a deterministic doc_id%10==7 slice standing in
+    for today's crawl) to the near-dup cluster of its best-matching EXISTING
+    doc, without recomputing global connected components. Emits the
+    would-merge signal too: n_clusters_hit > 1 means this single incoming doc
+    bridges multiple existing clusters (the cluster-maintenance event the
+    streaming path handles with its per-batch chain merge).
+
+    Scale shape: both edge subsets are FILTERS of the session-cached verified
+    edge DAG (a pair of existing docs is a verified pair regardless of what
+    else is in the corpus, so filtering full-corpus edges to existing x
+    existing equals recomputing on the existing subset — no second kernel or
+    LSH pass); CC runs only over existing-edge endpoints; the assignment is
+    one groupBy over the (small) crossing-edge set. assigned_cluster = min
+    cluster id among matched neighbors (deterministic tie-break), -1 when the
+    incoming doc is novel."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    is_new = (F.col("doc_id") % ASSIGN_NEW_MOD) == ASSIGN_NEW_REM
+    e = _near_dup_edges(spark, sf_dir).select("a_id", "b_id")
+    a_new = (F.col("a_id") % ASSIGN_NEW_MOD) == ASSIGN_NEW_REM
+    b_new = (F.col("b_id") % ASSIGN_NEW_MOD) == ASSIGN_NEW_REM
+    ex_edges = e.where(~a_new & ~b_new).select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    )
+    ex_docs = docs.where(~is_new)
+    comp = components.connected_components(ex_edges)
+    clusters = ex_docs.join(
+        comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+    crossing = e.where(a_new != b_new).select(
+        F.when(a_new, F.col("a_id")).otherwise(F.col("b_id")).alias("new_id"),
+        F.when(a_new, F.col("b_id")).otherwise(F.col("a_id")).alias("ex_id"),
+    )
+    matched = crossing.join(
+        clusters.select(F.col("doc_id").alias("ex_id"), "cluster_id"), "ex_id"
+    )
+    new_docs = docs.where(is_new).select(F.col("doc_id").alias("new_id"))
+    return (
+        new_docs.join(matched, "new_id", "left")
+        .groupBy("new_id")
+        .agg(
+            F.coalesce(F.min("cluster_id"), F.lit(-1)).cast("long").alias("assigned_cluster"),
+            F.count("ex_id").cast("long").alias("n_dup_neighbors"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters_hit"),
+        )
+    )

