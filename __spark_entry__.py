@@ -34,10 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the FIRST 50
     # dict entries.  Entries the driver has never checked (the round-4
-    # additions X47-X56) lead; long-stable driver-green entries (green r2+r3:
-    # TPC-H x4, event_* x5, token_counts, quality_scores, and the r3-green
-    # cross_corpus/passage/tfidf/lm_scores/common_spans block) sit past the
-    # window — they remain covered by tools/check_oracles.py and pytest.
+    # additions X47-X61) lead; long-stable driver-green entries (green r2+r3:
+    # TPC-H x4, event_* x5, token_counts, quality_scores, leakage_safe_split,
+    # source_dedup_report, and the r3-green cross_corpus/passage/tfidf/
+    # lm_scores/common_spans block) sit past the window — they remain covered
+    # by tools/check_oracles.py and pytest.
     return {
         # dedup pipeline operators (SURVEY §2.2-2.3)
         "exact_dup_clusters": Q.q_exact_dup_clusters,
@@ -74,6 +75,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_substring_scores": Q.q_repeated_substring_scores,
         # X59: incremental cluster assignment (daily-increment serving path)
         "cluster_assign": Q.q_cluster_assign,
+        # X60/X61 (new this round): detector-family agreement card, Zipf fit
+        "dedup_method_agreement": Q.q_dedup_method_agreement,
+        "zipf_fit": Q.q_zipf_fit,
         # code-corpus curation (The Stack / StarCoder-style)
         "code_stats": Q.q_code_stats,
         "secret_scan": Q.q_secret_scan,
@@ -101,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab": Q.q_vocab,
         "deterministic_sample": Q.q_deterministic_sample,
         "stratified_sample": Q.q_stratified_sample,
+        # ---- driver window boundary (first 50 dict entries) ---------------
+        # stable-green entries below remain covered by tools/check_oracles.py
+        # and pytest; each has at least one prior-round driver-green row.
         "leakage_safe_split": Q.q_leakage_safe_split,
         "source_dedup_report": Q.q_source_dedup_report,
         "repetition_scores": Q.q_repetition_scores,
@@ -113,7 +120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "lm_scores": Q.q_lm_scores,
         "common_spans": Q.q_common_spans,
-        # ---- driver window boundary (~50) — stable-green entries below ----
         "event_retention": Q.q_event_retention,
         "token_counts": Q.q_token_counts,
         "quality_scores": Q.q_quality_scores,
@@ -178,6 +184,33 @@ FROM d a JOIN d b
        / greatest(len(a.toks), len(b.toks)) >= 0.8
 WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
         / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+"""
+
+_CONTAINMENT_PAIRS_SQL = """
+    WITH t AS (
+      SELECT doc_id, text, regexp_extract_all(text, '[0-9A-Za-z_]+') AS w
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(w)-2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             END AS toks,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+      FROM t
+    ), p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.toks, b.toks))::DOUBLE
+               / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard,
+             len(list_intersect(a.toks, b.toks))::DOUBLE
+               / least(len(a.toks), len(b.toks)) AS containment,
+             CASE WHEN length(a.norm) <= length(b.norm)
+                  THEN position(a.norm IN b.norm) > 0
+                  ELSE position(b.norm IN a.norm) > 0 END AS substr
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, jaccard, containment FROM p
+    WHERE jaccard >= 0.8 OR (containment >= 0.9 AND substr)
 """
 
 _NEAR_DUP_CLUSTERS_SQL = f"""
@@ -255,32 +288,7 @@ def oracle_sql() -> dict[str, str]:
         # same shingle machinery + the containment branch: set containment
         # over the same word-3-gram sets, with the normalized-substring
         # witness (position() over ws-collapsed text — north rule)
-        "containment_dup_pairs": """
-            WITH t AS (
-              SELECT doc_id, text, regexp_extract_all(text, '[0-9A-Za-z_]+') AS w
-              FROM documents
-            ), d AS (
-              SELECT doc_id,
-                     CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
-                          ELSE list_distinct(list_transform(generate_series(1, len(w)-2),
-                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                     END AS toks,
-                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
-              FROM t
-            ), p AS (
-              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                     len(list_intersect(a.toks, b.toks))::DOUBLE
-                       / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard,
-                     len(list_intersect(a.toks, b.toks))::DOUBLE
-                       / least(len(a.toks), len(b.toks)) AS containment,
-                     CASE WHEN length(a.norm) <= length(b.norm)
-                          THEN position(a.norm IN b.norm) > 0
-                          ELSE position(b.norm IN a.norm) > 0 END AS substr
-              FROM d a JOIN d b ON a.doc_id < b.doc_id
-            )
-            SELECT a_id, b_id, jaccard, containment FROM p
-            WHERE jaccard >= 0.8 OR (containment >= 0.9 AND substr)
-        """,
+        "containment_dup_pairs": _CONTAINMENT_PAIRS_SQL,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
         "near_dup_cluster_sizes": f"""
             WITH clusters AS ({_NEAR_DUP_CLUSTERS_SQL}),
@@ -458,6 +466,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents n LEFT JOIN m ON m.new_id = n.doc_id
             WHERE n.doc_id % 10 = 7
             GROUP BY n.doc_id
+        """,
+        # X60: agreement card over the three pinned pair sets. The flag merge
+        # mirrors the Spark side's tagged-union + max() exactly; each source
+        # CTE is the same SQL the per-method oracles use.
+        "dedup_method_agreement": f"""
+            WITH wordp AS ({_NEAR_DUP_PAIRS_SQL}),
+            charp AS ({_CHAR_NGRAM_PAIRS_SQL}),
+            contp AS ({_CONTAINMENT_PAIRS_SQL}),
+            tagged AS (
+              SELECT a_id, b_id, 1 AS w, 0 AS c, 0 AS t FROM wordp
+              UNION ALL
+              SELECT a_id, b_id, 0 AS w, 1 AS c, 0 AS t FROM charp
+              UNION ALL
+              SELECT a_id, b_id, 0 AS w, 0 AS c, 1 AS t FROM contp
+            ),
+            flags AS (
+              SELECT a_id, b_id, max(w) AS w, max(c) AS c, max(t) AS t
+              FROM tagged GROUP BY a_id, b_id
+            )
+            SELECT w = 1 AS in_word, c = 1 AS in_char, t = 1 AS in_containment,
+                   count(*)::BIGINT AS n_pairs
+            FROM flags GROUP BY 1, 2, 3
+        """,
+        # X61: Zipf fit over the top-K whitespace terms (same tokenization as
+        # the vocab oracle); rank order total (n desc, term asc) both engines
+        "zipf_fit": """
+            WITH t AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents
+            ),
+            c AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+            top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 1000),
+            r AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank
+              FROM top
+            )
+            SELECT count(*)::BIGINT AS n_terms,
+                   round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+                   round(regr_r2(ln(n), ln(rank)), 6) AS zipf_r2
+            FROM r
         """,
         "near_dup_threshold_sweep": f"""
             WITH p AS ({_NEAR_DUP_PAIRS_SQL}),

@@ -2606,3 +2606,85 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cluster_id").cast("long").alias("n_clusters_hit"),
         )
     )
+
+
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60: dedup-method agreement card — which near-dup detector families
+    find which pairs. One row per (in_word, in_char, in_containment)
+    combination with the pair count, over the three pinned pair queries:
+    word-3-gram MinHash LSH (q_near_dup_pairs), char-9-gram MinHash LSH
+    (q_char_ngram_dup_pairs) and the containment-aware union
+    (q_containment_dup_pairs). The card a pipeline owner reads before
+    picking the production detector: full agreement means the cheap word
+    path suffices; a fat char-only bucket means whitespace-robust dups the
+    word shingles miss.
+
+    Scale shape: each input is a DEDUP OUTPUT (pairs above threshold), i.e.
+    orders of magnitude smaller than the corpus; the flag merge is one
+    partial-aggregable groupBy on (a_id, b_id) over the tagged union — max()
+    combines map-side, so the shuffle carries one row per (pair, method)
+    at worst — followed by a ~8-group count. No joins, no content columns.
+    The kernel/LSH/verify cost is shared with the three source queries
+    through the session signature + edge caches."""
+    word = q_near_dup_pairs(spark, sf_dir).select(
+        "a_id", "b_id",
+        F.lit(1).alias("w"), F.lit(0).alias("c"), F.lit(0).alias("t"),
+    )
+    char = q_char_ngram_dup_pairs(spark, sf_dir).select(
+        "a_id", "b_id",
+        F.lit(0).alias("w"), F.lit(1).alias("c"), F.lit(0).alias("t"),
+    )
+    cont = q_containment_dup_pairs(spark, sf_dir).select(
+        "a_id", "b_id",
+        F.lit(0).alias("w"), F.lit(0).alias("c"), F.lit(1).alias("t"),
+    )
+    flags = (
+        word.unionByName(char).unionByName(cont)
+        .groupBy("a_id", "b_id")
+        .agg(F.max("w").alias("w"), F.max("c").alias("c"), F.max("t").alias("t"))
+    )
+    return flags.groupBy(
+        (F.col("w") == 1).alias("in_word"),
+        (F.col("c") == 1).alias("in_char"),
+        (F.col("t") == 1).alias("in_containment"),
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+
+
+# top-k cutoff for the Zipf fit: enough mass for a stable slope, small
+# enough that the post-TakeOrdered window/regression never leaves one task
+ZIPF_TOP_K = int(os.environ.get("SPARK_GRAFT_ZIPF_TOP_K", "1000"))
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61: Zipf-law fit data card — least-squares slope (and R^2) of
+    log(frequency) vs log(rank) over the top-K corpus terms. The classic
+    one-number crawl-health diagnostic: natural-language corpora sit near
+    slope -1; template/boilerplate-heavy or machine-generated corpora
+    flatten or steepen visibly.
+
+    Scale shape: the term count is q_vocab's partial-aggregable explode ->
+    groupBy; the global top-K goes through orderBy(...).limit(K) — Spark
+    plans TakeOrderedAndProject (per-partition heap of K, no full sort) —
+    and everything after the cut (rank window + regr_slope/regr_r2) runs
+    over K rows in a single task. Slope/R^2 rounded to 6 dp: the rank order
+    is total (count desc, term asc) so the single-task summation order is
+    deterministic, and 6 dp sits far above double-summation noise (~1e-8 on
+    1e3 terms) while far below any real corpus difference."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    counts = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("term")).limit(ZIPF_TOP_K)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("term")))
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("zipf_r2"),
+    )

@@ -996,3 +996,46 @@ def test_cluster_assign_driver_corpus_consistent(spark):
         else:
             # novel here implies singleton in the full clustering
             assert full[new_id] == new_id
+
+
+def test_dedup_method_agreement_consistent(spark):
+    """The agreement card's marginals must equal the three source pair
+    queries exactly, every union pair carries at least one flag, and the
+    total equals the distinct union size."""
+    card = Q.q_dedup_method_agreement(spark, SF).collect()
+    assert all(r["in_word"] or r["in_char"] or r["in_containment"] for r in card)
+    word = {(r["a_id"], r["b_id"]) for r in Q.q_near_dup_pairs(spark, SF).collect()}
+    char = {(r["a_id"], r["b_id"]) for r in Q.q_char_ngram_dup_pairs(spark, SF).collect()}
+    cont = {(r["a_id"], r["b_id"]) for r in Q.q_containment_dup_pairs(spark, SF).collect()}
+    assert sum(r["n_pairs"] for r in card) == len(word | char | cont)
+    assert sum(r["n_pairs"] for r in card if r["in_word"]) == len(word)
+    assert sum(r["n_pairs"] for r in card if r["in_char"]) == len(char)
+    assert sum(r["n_pairs"] for r in card if r["in_containment"]) == len(cont)
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark):
+    """Slope/R^2 must match an independent numpy least-squares fit over the
+    same top-K (count desc, term asc) ranking, and obey basic shape: negative
+    slope (frequency falls with rank), R^2 in (0, 1]."""
+    import numpy as np
+
+    row = Q.q_zipf_fit(spark, SF).collect()[0]
+    docs = Q.load(spark, SF, "documents").collect()
+    from collections import Counter
+
+    c = Counter()
+    for r in docs:
+        c.update(r["text"].strip().split())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: Q.ZIPF_TOP_K]
+    assert row["n_terms"] == len(top)
+    x = np.log(np.arange(1, len(top) + 1, dtype=float))
+    y = np.log(np.array([n for _, n in top], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    pred = slope * x + intercept
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - ss_res / ss_tot
+    assert abs(row["zipf_slope"] - slope) < 1e-5, (row["zipf_slope"], slope)
+    assert abs(row["zipf_r2"] - r2) < 1e-5, (row["zipf_r2"], r2)
+    assert row["zipf_slope"] < 0
+    assert 0.0 < row["zipf_r2"] <= 1.0
