@@ -1,0 +1,133 @@
+"""Commit-history operators over the (repo, path, commit, lang, content) table.
+
+The north-rule corpus is an Iceberg table of source-code repositories at
+10^12-file scale where every crawl lands NEW commits of mostly-unchanged
+files (day-over-day content overlap is typically >99%). These operators make
+the dedup pipeline snapshot-aware so the expensive stages — the 128-seed
+MinHash kernel above all — run on the content DELTA, not the whole table:
+
+* ``select_snapshot``: restrict the file table to rows reachable from each
+  repo's head commit. The heads manifest is one row per (repo, commit) —
+  ~10^7 rows against 10^12 files — so the semi-join broadcasts and the scan
+  side never shuffles.
+* ``churn_report`` / ``repo_churn_rollup``: per-(repo, path) content
+  stability across commits (how many commits touched the path vs how many
+  DISTINCT contents it ever held), and the per-repo rollup. The data card
+  that decides whether snapshot-incremental signing is worth wiring up for
+  a given source.
+* ``incremental_content_signatures``: signature pass keyed by content
+  sha256 that skips content already signed in the previous snapshot's
+  signature table. Output is pinned equal to a full recompute
+  (tests/test_history.py) — MinHash signatures are a pure function of
+  content, so carrying a signature forward is exact, never approximate.
+
+Reference parity note: the reference plugin recomputes the MinHash token
+filter on every index write (MinHashFieldMapper parses each incoming doc);
+content-keyed carry-forward is the Spark-shaped equivalent of ES re-indexing
+only changed docs — same bytes per content, orders of magnitude less kernel
+work per snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minhash_spark.config import MinHashConfig
+
+CONTENT_SHA = "content_sha256"
+
+
+def with_content_sha(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append the per-row content sha256 (the north rule's end-to-end
+    invariant column). Pure map, fused into the scan."""
+    return files.withColumn(CONTENT_SHA, F.sha2(F.col(content_col), 256))
+
+
+def select_snapshot(files: DataFrame, heads: DataFrame) -> DataFrame:
+    """Files reachable from each repo's head commit.
+
+    ``heads`` is the (repo, commit) manifest of snapshot heads — one row per
+    repo. A left-semi join keeps the file table's columns untouched and lets
+    Catalyst broadcast the manifest (explicitly hinted: ~10^7 rows of two
+    short strings is far under any sane autoBroadcast threshold, but the
+    hint keeps the plan stable when the threshold is tuned down)."""
+    return files.join(
+        F.broadcast(heads.select("repo", "commit").dropDuplicates()),
+        ["repo", "commit"],
+        "left_semi",
+    )
+
+
+def churn_report(files: DataFrame) -> DataFrame:
+    """Per-(repo, path) cross-commit churn: commits touching the path,
+    distinct contents it held, and the sha of the LATEST content (max commit
+    in lexicographic order — deterministic; no timestamp column exists in
+    the north-rule schema).
+
+    Scale shape: one partial-aggregable groupBy on (repo, path); both
+    count_distinct columns carry combiner-reduced state. No content strings
+    move — only their sha256."""
+    f = with_content_sha(files)
+    return f.groupBy("repo", "path").agg(
+        F.countDistinct("commit").cast("long").alias("n_commits"),
+        F.countDistinct(CONTENT_SHA).cast("long").alias("n_versions"),
+        F.max_by(CONTENT_SHA, F.col("commit")).alias("head_sha256"),
+    )
+
+
+def repo_churn_rollup(files: DataFrame) -> DataFrame:
+    """Per-repo rollup of ``churn_report``: path count, total commit-touches,
+    distinct contents, and the fraction of paths whose content never changed
+    (exact int/int division — engine-stable)."""
+    per_path = churn_report(files)
+    return per_path.groupBy("repo").agg(
+        F.count("*").cast("long").alias("n_paths"),
+        F.sum("n_commits").cast("long").alias("n_file_commits"),
+        F.sum("n_versions").cast("long").alias("n_distinct_versions"),
+        (
+            F.sum(F.when(F.col("n_versions") == 1, 1).otherwise(0))
+            / F.count("*")
+        ).alias("stable_path_ratio"),
+    )
+
+
+def incremental_content_signatures(
+    new_files: DataFrame,
+    prev_sigs: DataFrame | None,
+    cfg: MinHashConfig,
+) -> DataFrame:
+    """Content-keyed signature table for a snapshot, reusing the previous
+    snapshot's signatures for unchanged content.
+
+    ``prev_sigs`` is the previous snapshot's output of this function —
+    (content_sha256, sig, bands) — or None for the first snapshot. Returns
+    the same shape covering every distinct content in ``new_files``.
+
+    Scale shape: the kernel (the pipeline's dominant cost) runs ONLY on
+    distinct content whose sha is absent from ``prev_sigs`` — at >99%
+    day-over-day overlap that is a >100x kernel reduction with bit-identical
+    output (signatures are pure functions of content). The delta selection
+    is dedup-by-sha (partial-aggregable) + one left-anti join on the sha —
+    a short-key shuffle; content strings only move for the delta rows that
+    actually reach the kernel. The carried-forward side is a left-semi of
+    prev_sigs against the new snapshot's sha set, so retired content drops
+    out instead of accumulating across snapshots."""
+    from minhash_spark.functions.udfs import minhash_struct_udf
+
+    f = with_content_sha(new_files).select(CONTENT_SHA, "content")
+    distinct = f.dropDuplicates([CONTENT_SHA])
+    if prev_sigs is None:
+        delta = distinct
+        carried = None
+    else:
+        keys = distinct.select(CONTENT_SHA)
+        delta = distinct.join(prev_sigs.select(CONTENT_SHA), CONTENT_SHA, "left_anti")
+        carried = prev_sigs.join(keys, CONTENT_SHA, "left_semi")
+    sig = minhash_struct_udf(cfg)
+    computed = delta.select(
+        CONTENT_SHA, sig(F.col("content")).alias("s")
+    ).select(CONTENT_SHA, F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
+    if carried is None:
+        return computed
+    return carried.select(CONTENT_SHA, "sig", "bands").unionByName(computed)
