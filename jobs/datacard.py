@@ -4,14 +4,14 @@ training-data release (shard manifests, length distribution, unique-content
 growth, per-source sketch profile, quality-tier mix).
 
 Example:
-    python jobs/profile.py --sf-dir /root/testdata/sf0.01
-    python jobs/profile.py --sf-dir ... --out card.json --cpus 8
+    python jobs/datacard.py --sf-dir /root/testdata/sf0.01
+    python jobs/datacard.py --sf-dir ... --out card.json --cpus 8
 
 Every section is a bounded-size aggregate (shards, buckets, quarters,
-sources, tiers — never per-document rows), so the report stays KB-sized at
-any corpus scale; the underlying queries are the driver-gated X50/X55/X56/
-X57/X54 operators (one partial-agg shuffle each, sketches where exactness
-would cost a corpus-wide distinct)."""
+sources, tiers, one Zipf row — never per-document rows), so the report stays
+KB-sized at any corpus scale; the underlying queries are the driver-gated
+X50/X55/X56/X57/X54/X61 operators (one partial-agg shuffle each, sketches
+where exactness would cost a corpus-wide distinct)."""
 
 from __future__ import annotations
 
@@ -45,6 +45,7 @@ def build_profile(spark, sf_dir: str) -> dict:
         .orderBy("keep_permille")
         .collect()
     ]
+    zipf = Q.q_zipf_fit(spark, sf_dir).collect()[0].asDict()
     return {
         "input": sf_dir,
         "n_docs": sum(s["n_docs"] for s in shards),
@@ -55,6 +56,7 @@ def build_profile(spark, sf_dir: str) -> dict:
         "unique_content_growth": growth,
         "source_profiles": sources,
         "quality_tier_kept": tier_mix,
+        "zipf": zipf,
     }
 
 

@@ -930,9 +930,9 @@ def test_approx_corpus_profile_error_bounds(spark):
 
 
 def test_profile_cli_builds_consistent_card(spark):
-    """jobs/profile.py: the data card's corpus totals agree across sections
+    """jobs/datacard.py: the data card's corpus totals agree across sections
     (shards vs length histogram) and every section is bounded-size."""
-    from jobs.profile import build_profile
+    from jobs.datacard import build_profile
 
     card = build_profile(spark, SF)
     assert card["n_docs"] == 500
@@ -943,6 +943,8 @@ def test_profile_cli_builds_consistent_card(spark):
     assert len(card["source_profiles"]) >= 2
     for s in card["source_profiles"]:
         assert s["approx_unique_texts"] <= s["n_docs"] * 1.05
+    assert card["zipf"]["zipf_slope"] < 0
+    assert 0.0 < card["zipf"]["zipf_r2"] <= 1.0
 
 
 def test_cluster_assign_planted_merge_signal(spark, tmp_path):
