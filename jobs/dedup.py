@@ -56,6 +56,15 @@ def main():
         "cluster) corpus as N balanced training shards",
     )
     p.add_argument("--shards-path", default=None, help="output dir for --shards-out")
+    p.add_argument(
+        "--prev-checkpoints",
+        default=None,
+        help="checkpoint root of the PREVIOUS snapshot's run: its signatures "
+        "table is carried forward for unchanged content (sha256-keyed), so "
+        "the MinHash kernel runs only on the snapshot's content delta. "
+        "Refused unless the previous run's signature_hash matches this "
+        "config (bit-exactness gate) and --filter-common-shingles is off.",
+    )
     args = p.parse_args()
     if args.shards_out and not args.shards_path:
         p.error("--shards-out requires --shards-path")
@@ -78,7 +87,21 @@ def main():
     spark = build_session(app_name="minhash-dedup")
     files = spark.read.parquet(args.input)
     pipe = DedupPipeline(spark, TableIO(args.checkpoints), cfg)
-    out = pipe.run(files)
+    prev_sigs = None
+    if args.prev_checkpoints:
+        prev_io = TableIO(args.prev_checkpoints)
+        m = prev_io.manifest(DedupPipeline.T_SIG)
+        if m is None:
+            p.error(f"--prev-checkpoints has no {DedupPipeline.T_SIG} manifest")
+        prev_hash = (m.get("metrics") or {}).get("signature_hash")
+        if prev_hash != cfg.signature_hash():
+            p.error(
+                "previous signatures were computed under a different "
+                f"signature config ({prev_hash} != {cfg.signature_hash()}); "
+                "carry-forward would not be bit-exact"
+            )
+        prev_sigs = prev_io.read(spark, DedupPipeline.T_SIG)
+    out = pipe.run(files, prev_signatures=prev_sigs)
     n = out.count()
     result = {
         "rows_out": n,

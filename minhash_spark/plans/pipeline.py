@@ -108,24 +108,63 @@ class DedupPipeline:
         hot = np.sort(np.array([r["h"] for r in hot_df.collect()], dtype=np.int64))
         return hot
 
-    def run(self, files: DataFrame, input_fp: str | None = None) -> DataFrame:
+    def run(
+        self,
+        files: DataFrame,
+        input_fp: str | None = None,
+        prev_signatures: DataFrame | None = None,
+    ) -> DataFrame:
         cfg = self.cfg
         self._input_fp = input_fp if input_fp is not None else input_fingerprint(files)
         exclude = None
         if cfg.filter_common_shingles and cfg.tokenizer == "char_shingle":
             exclude = self._hot_shingles(files)
+        if prev_signatures is not None and exclude is not None:
+            # the sampled boilerplate exclude list is corpus-dependent, so a
+            # signature carried from the previous snapshot would NOT equal a
+            # fresh recompute under this snapshot's exclude list — refuse
+            # rather than silently break the carry-forward == recompute pin
+            raise ValueError(
+                "prev_signatures is incompatible with filter_common_shingles"
+            )
 
         def build_signatures():
             with_id = signatures.with_identity(files)
             reps = signatures.distinct_contents(with_id)
-            sigs = signatures.compute_signatures(reps, cfg, exclude_sorted=exclude)
-            return sigs, {
+            metrics: dict = {
                 "excluded_shingles": 0 if exclude is None else int(len(exclude)),
                 # signature-relevant config identity (kernel + banding only):
                 # what a query-time signature must match to be comparable —
                 # jobs/search.py gates on this, not the full config hash
                 "signature_hash": cfg.signature_hash(),
             }
+            if prev_signatures is None:
+                sigs = signatures.compute_signatures(reps, cfg, exclude_sorted=exclude)
+                return sigs, metrics
+            # snapshot carry-forward (north rule's daily-crawl shape): a
+            # MinHash signature is a pure function of (content, signature
+            # config), so signatures from the previous snapshot's checkpoint
+            # are EXACT for unchanged content — the kernel (the pipeline's
+            # dominant cost) runs only on the content delta. rep_id is
+            # always recomputed from THIS snapshot's file ids, so cluster
+            # labels and CC nodes never reference retired files; only the
+            # expensive byte columns (sig, sig_b64, bands) carry over.
+            # Output is bit-identical to a full recompute
+            # (tests/test_history.py pins the operator-level equivalent;
+            # test_pipeline_snapshot.py pins this stage end-to-end), so the
+            # stage's manifest identity (config hash + input fingerprint)
+            # remains truthful.
+            prev = prev_signatures.select("content_sha256", "sig", "sig_b64", "bands")
+            # barrier: the miss set feeds a count (delta observability in the
+            # manifest) AND the kernel pass — materialize the anti-join once
+            miss = verify.barrier(
+                reps.join(prev.select("content_sha256"), "content_sha256", "left_anti")
+            )
+            hit = reps.select("content_sha256", "rep_id").join(prev, "content_sha256")
+            fresh = signatures.compute_signatures(miss, cfg, exclude_sorted=exclude)
+            sigs = hit.select(*fresh.columns).unionByName(fresh)
+            metrics["computed_fresh_contents"] = int(miss.count())
+            return sigs, metrics
 
         sigs = self._run_stage(
             self.T_SIG,
