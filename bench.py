@@ -209,7 +209,7 @@ def main():
     timed("passage_dedup_docs", lambda: Q.q_passage_dedup(spark, sf_dir))
     timed("tfidf_top_terms_docs", lambda: Q.q_tfidf_top_terms(spark, sf_dir))
     timed("lm_scores_docs", lambda: Q.q_lm_scores(spark, sf_dir))
-    # round-4 additions (X50-X58) — excluded from the r3-comparable subtotal
+    # round-4 additions (X50-X61) — excluded from the r3-comparable subtotal
     timed("shard_manifest_docs", lambda: Q.q_shard_manifest(spark, sf_dir))
     timed("dedup_rewrite_docs", lambda: Q.q_dedup_rewrite(spark, sf_dir))
     timed("word_entropy_docs", lambda: Q.q_word_entropy_scores(spark, sf_dir))
@@ -219,6 +219,9 @@ def main():
     timed("dedup_growth_curve_docs", lambda: Q.q_dedup_growth_curve(spark, sf_dir))
     timed("approx_profile_docs", lambda: Q.q_approx_corpus_profile(spark, sf_dir))
     timed("repeated_substring_docs", lambda: Q.q_repeated_substring_scores(spark, sf_dir))
+    timed("cluster_assign_docs", lambda: Q.q_cluster_assign(spark, sf_dir))
+    timed("method_agreement_docs", lambda: Q.q_dedup_method_agreement(spark, sf_dir))
+    timed("zipf_fit_docs", lambda: Q.q_zipf_fit(spark, sf_dir))
 
     # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
     # reported min), so the comparable "first-run" total keeps the pipeline
@@ -231,13 +234,14 @@ def main():
         2,
     )
     total_min = round(sum(t["min"] for t in timings.values()), 2)
-    # like-for-like round comparison: the suite GREW in round 4 (9 new
+    # like-for-like round comparison: the suite GREW in round 4 (12 new
     # queries), so the headline total is not comparable to BENCH_r03 — this
     # subtotal restricts to the round-3 query set
     r4_new = {
         "shard_manifest_docs", "dedup_rewrite_docs", "word_entropy_docs",
         "threshold_sweep_docs", "quality_weighted_docs", "length_histogram_docs",
         "dedup_growth_curve_docs", "approx_profile_docs", "repeated_substring_docs",
+        "cluster_assign_docs", "method_agreement_docs", "zipf_fit_docs",
     }
     total_first_r3cmp = round(
         sum(

@@ -313,6 +313,13 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wrapper over :func:`_containment_edges` (the cache lets
+    q_dedup_method_agreement and the threshold/report queries reuse the
+    verified set instead of re-running the fingerprint branch)."""
+    return _containment_edges(spark, sf_dir)
+
+
+def _containment_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment-aware near-dup pairs (north rule's embedded-file case):
     accept a pair when exact word-3-gram Jaccard >= 0.8 OR (shingle-set
     containment |A∩B|/min(|A|,|B|) >= 0.9 AND the whitespace-normalized text
@@ -346,6 +353,10 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     common-shingle filter, not a pair list. The sandbox corpora contain no
     such pairs, so the DuckDB oracle (no df notion) agrees exactly."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    key = (spark.sparkContext.applicationId, sf_dir, "containment")
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
     ccfg = MinHashConfig(
         seed=0,
         size=128,
@@ -401,7 +412,7 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so reuse the session edge cache instead of re-running LSH + verify
     verified_jac = _near_dup_edges(spark, sf_dir)
     verified_cont = verify.verify_pairs(fp_pairs, sigs, contents, ccfg)
-    return (
+    out = (
         verified_jac.unionByName(verified_cont)
         .dropDuplicates(["a_id", "b_id"])
         .select(
@@ -410,41 +421,52 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             "containment",
         )
+        # barrier the (small) verified pair table so consumers sharing the
+        # session cache never re-run the fingerprint branch
+        .transform(verify.barrier)
     )
+    _EDGE_CACHE[key] = out
+    return out
+
+
+CHAR_CFG = MinHashConfig(
+    seed=0,
+    size=128,
+    bit=1,
+    tokenizer="char_shingle",
+    tokenizer_params={"k": 9},
+    num_bands=32,
+    rows_per_band=4,
+    verify_threshold=0.8,
+)
 
 
 def q_char_ngram_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-9-gram shingle near-dups (the source-code configuration exercised
-    on the documents table). rows-only: same non-SQL-expressible kernel."""
+    on the documents table). Signatures come from the session signature
+    cache (keyed by signature family) and the verified edge set is cached
+    like the word path's — q_dedup_method_agreement re-reads both for
+    free."""
+    key = (spark.sparkContext.applicationId, sf_dir, CHAR_CFG.config_hash())
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    cfg = MinHashConfig(
-        seed=0,
-        size=128,
-        bit=1,
-        tokenizer="char_shingle",
-        tokenizer_params={"k": 9},
-        num_bands=32,
-        rows_per_band=4,
-        verify_threshold=0.8,
-    )
-    from minhash_spark.functions.udfs import minhash_struct_udf
-
-    sig = minhash_struct_udf(cfg)
-    # materialized once — feeds the bucket explode AND verify's signature
-    # joins (see _near_dup_edges)
-    sigs = (
-        docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
-        .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
+    sigs = _doc_signatures(spark, sf_dir, CHAR_CFG)
+    buckets = lsh.explode_buckets(sigs)
+    pairs, _ = lsh.candidate_pairs(buckets, CHAR_CFG.max_bucket_size)
+    contents = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("content"))
+    out = (
+        verify.verify_pairs(pairs, sigs, contents, CHAR_CFG)
+        .select(
+            F.col("a_id").cast("long").alias("a_id"),
+            F.col("b_id").cast("long").alias("b_id"),
+            F.col("jaccard"),
+        )
         .transform(verify.barrier)
     )
-    buckets = lsh.explode_buckets(sigs)
-    pairs, _ = lsh.candidate_pairs(buckets, cfg.max_bucket_size)
-    contents = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("content"))
-    return verify.verify_pairs(pairs, sigs, contents, cfg).select(
-        F.col("a_id").cast("long").alias("a_id"),
-        F.col("b_id").cast("long").alias("b_id"),
-        F.col("jaccard"),
-    )
+    _EDGE_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
