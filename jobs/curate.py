@@ -46,6 +46,15 @@ def main():
     add_analyzer_args(p)
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--max-bucket-size", type=int, default=64)
+    p.add_argument(
+        "--collapse-forks",
+        type=float,
+        default=None,
+        metavar="JACCARD",
+        help="repo-level fork collapse before file rules: keep one "
+        "representative repo per fork group (file-blob Jaccard >= JACCARD); "
+        "dropped files get filter_reason='fork'",
+    )
     args = p.parse_args()
     if args.shards_out and not args.shards_path:
         p.error("--shards-out requires --shards-path")
@@ -72,6 +81,7 @@ def main():
         span_n=args.span_n,
         min_shared_spans=args.min_shared_spans,
         license_allow=parse_license_allow(args.license_allow),
+        fork_collapse_min_jaccard=args.collapse_forks,
     )
     final = pipe.run_curation(files, eval_files=eval_df)
 

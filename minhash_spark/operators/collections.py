@@ -111,3 +111,62 @@ def repo_fork_candidates(
         F.col("n_b").alias("n_b_files"),
         "jaccard",
     )
+
+
+def collapse_forks(
+    files: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """Repo-level dedup (The Stack's fork collapse): connect repos whose
+    file-blob Jaccard >= ``min_jaccard`` (:func:`repo_fork_candidates`),
+    resolve fork GROUPS with connected components, and keep one
+    representative repo per group — the one with the most distinct file
+    blobs, ties to the lexically smallest name (deterministic).
+
+    Returns one row per repo: (repo, fork_group, n_blobs, is_kept). The
+    training-set move is ``where(is_kept)`` BEFORE file-level dedup: dropping
+    a 10k-file fork here is one row-filter instead of 10k near-dup
+    verifications downstream.
+
+    Scale shape: the pair table is collection-level (|repos| ~ 10^7 at the
+    north-rule corpus, pairs far fewer after the Jaccard floor) — orders of
+    magnitude below the file table; CC runs on repo-name nodes
+    (scale-adaptive, same operator as file clustering); the per-repo blob
+    counts are one partial-aggregable distinct + count; the winner pick is
+    one min_by over fork groups. File contents never move — only sha256s.
+    """
+    pairs = repo_fork_candidates(files, repo_col, content_col, min_jaccard)
+    edges = pairs.select(F.col("a_repo").alias("u"), F.col("b_repo").alias("v"))
+    from minhash_spark.operators import components
+
+    comp = components.connected_components(edges)
+    sizes = (
+        files.select(
+            F.col(repo_col).alias("repo"), F.sha2(F.col(content_col), 256).alias("sha")
+        )
+        .distinct()
+        .groupBy("repo")
+        .agg(F.count("*").cast("long").alias("n_blobs"))
+    )
+    tagged = sizes.join(
+        comp.select(F.col("node").alias("repo"), F.col("component").alias("fork_group")),
+        "repo",
+        "left",
+    ).select(
+        "repo",
+        F.coalesce(F.col("fork_group"), F.col("repo")).alias("fork_group"),
+        "n_blobs",
+    )
+    winners = tagged.groupBy("fork_group").agg(
+        F.min_by(
+            "repo", F.struct((-F.col("n_blobs")).alias("neg_size"), F.col("repo"))
+        ).alias("kept_repo")
+    )
+    return tagged.join(winners, "fork_group").select(
+        "repo",
+        "fork_group",
+        "n_blobs",
+        (F.col("repo") == F.col("kept_repo")).alias("is_kept"),
+    )

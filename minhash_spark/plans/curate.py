@@ -76,6 +76,7 @@ class CurationPipeline(DedupPipeline):
         span_n: int = 5,
         min_shared_spans: int = 1,
         license_allow: list[str] | None = None,
+        fork_collapse_min_jaccard: float | None = None,
     ):
         """``license_allow``: optional The-Stack-style license gate — keep
         only files whose detected license family (operators/curation.py:
@@ -88,6 +89,10 @@ class CurationPipeline(DedupPipeline):
         self.span_n = span_n
         self.min_shared_spans = min_shared_spans
         self.license_allow = sorted(license_allow) if license_allow else None
+        # optional repo-level fork collapse (operators/collections.py):
+        # dropping a whole forked repo is one row-filter here instead of
+        # thousands of file-level near-dup verifications downstream
+        self.fork_collapse_min_jaccard = fork_collapse_min_jaccard
         # per-stage identity, so a knob change invalidates exactly the
         # stages it affects: the filter stage keys on the filter-rule
         # definition, the decontamination stage on the span knobs, and the
@@ -109,6 +114,7 @@ class CurationPipeline(DedupPipeline):
                         C.MINIFIED_SUFFIXES,
                         C.LOCKFILE_NAMES,
                     ],
+                    "fork_collapse": self.fork_collapse_min_jaccard,
                 },
                 sort_keys=True,
             ).encode()
@@ -128,8 +134,9 @@ class CurationPipeline(DedupPipeline):
         raw_fp = input_fingerprint(files)
 
         def build_filtered():
-            # precedence: license gate, then path rules (cheap, content-free),
-            # then the content-quality rules — first failing rule names the drop
+            # precedence: fork collapse (repo-level, cheapest per dropped
+            # row), then license gate, then path rules (content-free), then
+            # the content-quality rules — first failing rule names the drop
             from minhash_spark.operators.curation import path_filter_reason
 
             path_reason = path_filter_reason(F.col("path"))
@@ -147,7 +154,22 @@ class CurationPipeline(DedupPipeline):
             total = None
             for c in counts.values():
                 total = c if total is None else total + c
-            staged = files.withColumn("filter_reason", reason).withColumn(
+            src = files
+            if self.fork_collapse_min_jaccard is not None:
+                from minhash_spark.operators.collections import collapse_forks
+
+                kept_repos = (
+                    collapse_forks(files, min_jaccard=self.fork_collapse_min_jaccard)
+                    .where(F.col("is_kept"))
+                    .select("repo", F.lit(1).alias("_fork_kept"))
+                )
+                # per-repo verdict table: one short row per repo, orders of
+                # magnitude below the file table — plain equi-join on repo
+                src = files.join(kept_repos, "repo", "left")
+                reason = F.when(F.col("_fork_kept").isNull(), F.lit("fork")).otherwise(
+                    reason
+                )
+            staged = src.withColumn("filter_reason", reason).withColumn(
                 "n_secrets", total
             )
             # per-reason drop counts: one tiny agg for the manifest
