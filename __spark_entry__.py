@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X60/X61 (new this round): detector-family agreement card, Zipf fit
         "dedup_method_agreement": Q.q_dedup_method_agreement,
         "zipf_fit": Q.q_zipf_fit,
+        # X64: zlib compression-ratio quality signal (rows-only — DuckDB has
+        # no zlib; byte counts pinned vs direct zlib.compress in pytest)
+        "compression_scores": Q.q_compression_scores,
         # code-corpus curation (The Stack / StarCoder-style)
         "code_stats": Q.q_code_stats,
         "secret_scan": Q.q_secret_scan,
@@ -104,10 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": Q.q_cluster_representatives,
         "vocab": Q.q_vocab,
         "deterministic_sample": Q.q_deterministic_sample,
-        "stratified_sample": Q.q_stratified_sample,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # stable-green entries below remain covered by tools/check_oracles.py
         # and pytest; each has at least one prior-round driver-green row.
+        "stratified_sample": Q.q_stratified_sample,
         "leakage_safe_split": Q.q_leakage_safe_split,
         "source_dedup_report": Q.q_source_dedup_report,
         "repetition_scores": Q.q_repetition_scores,

@@ -222,6 +222,7 @@ def main():
     timed("cluster_assign_docs", lambda: Q.q_cluster_assign(spark, sf_dir))
     timed("method_agreement_docs", lambda: Q.q_dedup_method_agreement(spark, sf_dir))
     timed("zipf_fit_docs", lambda: Q.q_zipf_fit(spark, sf_dir))
+    timed("compression_scores_docs", lambda: Q.q_compression_scores(spark, sf_dir))
 
     # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
     # reported min), so the comparable "first-run" total keeps the pipeline
@@ -242,6 +243,7 @@ def main():
         "threshold_sweep_docs", "quality_weighted_docs", "length_histogram_docs",
         "dedup_growth_curve_docs", "approx_profile_docs", "repeated_substring_docs",
         "cluster_assign_docs", "method_agreement_docs", "zipf_fit_docs",
+        "compression_scores_docs",
     }
     total_first_r3cmp = round(
         sum(

@@ -2710,3 +2710,51 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("zipf_r2"),
     )
+
+
+def q_compression_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64: zlib compression-ratio quality signal (the Gopher/RefinedWeb
+    repetitiveness detector): highly compressible text is boilerplate,
+    log spam, or template output; near-incompressible text is minified or
+    binary-ish. Complements repeated_substring_scores — compression sees
+    GLOBAL redundancy (many medium repeats) that a single longest repeat
+    misses.
+
+    Scale shape: Arrow-batched mapInPandas over (doc_id, text) — zlib is
+    C-speed per row, no shuffle, no joins; the scan prunes to two columns.
+    Rows-only: DuckDB has no zlib; the exact byte counts are pinned against
+    direct zlib.compress in pytest. ratio = compressed/raw rounded 4 dp
+    (per-row expression — partition-invariant)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t else b"" for t in pdf["text"].fillna("")]
+            n = np.array([len(b) for b in raw], dtype="int64")
+            # level 6 (zlib default): the standard corpus-quality setting
+            c = np.array([len(zlib.compress(b, 6)) for b in raw], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "n_compressed": c,
+                    "compression_ratio": np.where(
+                        n > 0, np.round(c / np.maximum(n, 1), 4), 0.0
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(score, schema)

@@ -1041,3 +1041,21 @@ def test_zipf_fit_matches_numpy_lstsq(spark):
     assert abs(row["zipf_r2"] - r2) < 1e-5, (row["zipf_r2"], r2)
     assert row["zipf_slope"] < 0
     assert 0.0 < row["zipf_r2"] <= 1.0
+
+
+def test_compression_scores_exact_vs_zlib(spark):
+    """Byte counts must equal direct zlib.compress(level 6) on every doc,
+    and the ratio orders corpora correctly: a highly repetitive text
+    compresses far below a high-entropy one."""
+    import zlib
+
+    rows = {r["doc_id"]: r for r in Q.q_compression_scores(spark, SF).collect()}
+    docs = {r["doc_id"]: r["text"] for r in Q.load(spark, SF, "documents").collect()}
+    assert set(rows) == set(docs)
+    for did, text in list(docs.items())[:100]:
+        b = (text or "").encode("utf-8")
+        r = rows[did]
+        assert r["n_bytes"] == len(b)
+        assert r["n_compressed"] == len(zlib.compress(b, 6))
+        if len(b):
+            assert r["compression_ratio"] == round(r["n_compressed"] / len(b), 4)

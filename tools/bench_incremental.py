@@ -1,0 +1,141 @@
+"""Snapshot carry-forward throughput evidence (north rule's daily-crawl
+shape): day-2 pipeline wall with --prev-checkpoints vs a full recompute.
+
+Day 1 is the planted bench corpus; day 2 re-lands every file under a new
+commit with ~1% of contents mutated and ~1% new files — the >99%
+day-over-day content overlap point the carry-forward targets. Both day-2
+runs produce BIT-IDENTICAL outputs (pinned by tests/test_pipeline_snapshot);
+this script measures the wall-clock difference and writes
+BENCH/incremental.json.
+
+Config: char-9 shingles, filter_common_shingles OFF (carry-forward is
+refused under the corpus-dependent exclude list — see pipeline.run).
+
+Usage: python tools/bench_incremental.py [--cpus N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.plans.pipeline import DedupPipeline
+    from minhash_spark.session import build_session
+    from minhash_spark.sources.io import TableIO
+
+    import bench  # repo-root bench: corpus spec + cached parquet
+
+    spark = build_session(app_name="bench-incremental", master=f"local[{args.cpus}]")
+    day1_path = bench.ensure_bench_corpus(spark)
+    day1 = spark.read.parquet(day1_path)
+
+    # day 2: every file re-lands under a new commit; ~1% of contents gain a
+    # trailing line (deterministic content-hash slice); ~1% brand-new files
+    mutated = day1.withColumn("commit", F.lit("b" * 40)).withColumn(
+        "content",
+        F.when(
+            F.pmod(F.abs(F.xxhash64("content")), F.lit(100)) == 0,
+            F.concat(F.col("content"), F.lit("\n// day2 touch")),
+        ).otherwise(F.col("content")),
+    )
+    n1 = day1.count()
+    new_files = (
+        day1.limit(max(1, n1 // 100))
+        .select(
+            F.concat(F.lit("new/"), F.col("repo")).alias("repo"),
+            "path",
+            F.lit("b" * 40).alias("commit"),
+            "lang",
+            F.concat(F.lit("// new day2 file\n"), F.col("content")).alias("content"),
+        )
+    )
+    day2_path = os.path.join(bench.BENCH_DATA, "corpus_b_day2")
+    if not os.path.exists(os.path.join(day2_path, "_SUCCESS")):
+        mutated.unionByName(new_files).repartition(64).write.mode("overwrite").parquet(
+            day2_path
+        )
+    day2 = spark.read.parquet(day2_path)
+    n2 = day2.count()
+
+    cfg = MinHashConfig(
+        seed=0,
+        size=128,
+        bit=1,
+        tokenizer="char_shingle",
+        tokenizer_params={"k": 9},
+        verify_threshold=0.8,
+    )
+
+    def run(prev_sigs, tag):
+        # warm once (sandbox first-touch page faults), then min-of-N
+        walls, sig_walls, fresh = [], [], None
+        for rep in range(args.runs + 1):
+            ckpt = f"/tmp/minhash_inc_{tag}_{os.getpid()}"
+            shutil.rmtree(ckpt, ignore_errors=True)
+            t0 = time.time()
+            DedupPipeline(spark, TableIO(ckpt), cfg).run(
+                day2, prev_signatures=prev_sigs
+            ).count()
+            wall = time.time() - t0
+            io = TableIO(ckpt)
+            m = io.manifest(DedupPipeline.T_SIG)
+            if rep > 0:  # skip the warmup
+                walls.append(round(wall, 2))
+                sig_walls.append(m["wall_s"])
+                fresh = m["metrics"].get("computed_fresh_contents")
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return {
+            "wall_s": min(walls),
+            "walls": walls,
+            "sig_stage_wall_s": min(sig_walls),
+            "computed_fresh_contents": fresh,
+        }
+
+    # day-1 signatures once (the "yesterday checkpoint")
+    prev_ckpt = f"/tmp/minhash_inc_day1_{os.getpid()}"
+    shutil.rmtree(prev_ckpt, ignore_errors=True)
+    DedupPipeline(spark, TableIO(prev_ckpt), cfg).run(day1).count()
+    prev_sigs = TableIO(prev_ckpt).read(spark, DedupPipeline.T_SIG)
+
+    full = run(None, "full")
+    inc = run(prev_sigs, "inc")
+    shutil.rmtree(prev_ckpt, ignore_errors=True)
+
+    out = {
+        "metric": "day2_pipeline_wall_full_vs_incremental",
+        "files_day1": n1,
+        "files_day2": n2,
+        "full": full,
+        "incremental": inc,
+        "speedup_total": round(full["wall_s"] / inc["wall_s"], 2),
+        "speedup_signatures_stage": round(
+            full["sig_stage_wall_s"] / inc["sig_stage_wall_s"], 2
+        ),
+        "cpus": int(args.cpus),
+    }
+    with open(os.path.join(_ROOT, "BENCH", "incremental.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
