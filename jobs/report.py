@@ -66,6 +66,14 @@ def main():
     p.add_argument("--checkpoints", required=True)
     p.add_argument("--no-spark", action="store_true", help="manifest summary only")
     p.add_argument("--top-sizes", type=int, default=10)
+    p.add_argument(
+        "--diff-against",
+        default=None,
+        metavar="PREV_CKPT",
+        help="previous run's checkpoint root: adds a day-over-day cluster "
+        "transition card (stable/grown/merged/new event counts, keyed by "
+        "content_sha256 — operators/history.py cluster_diff)",
+    )
     args = p.parse_args()
 
     from minhash_spark.sources.io import TableIO
@@ -100,6 +108,18 @@ def main():
                 {"cluster_size": r["n"], "n_clusters": r["n_clusters"]} for r in hist
             ],
         }
+        if args.diff_against:
+            from minhash_spark.operators.history import cluster_diff
+
+            prev = TableIO(args.diff_against).read(spark, "clusters_all")
+            events = {
+                r["event"]: int(r["n"])
+                for r in cluster_diff(out, prev)
+                .groupBy("event")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            report["cluster_diff_events"] = events
         spark.stop()
 
     print(json.dumps(report))

@@ -131,3 +131,47 @@ def incremental_content_signatures(
     if carried is None:
         return computed
     return carried.select(CONTENT_SHA, "sig", "bands").unionByName(computed)
+
+
+def cluster_diff(cur: DataFrame, other: DataFrame) -> DataFrame:
+    """Day-over-day cluster transition card between two ``clusters_all``
+    outputs (content_sha256 is the stable cross-snapshot identity — file_ids
+    change with every commit, content does not).
+
+    One row per ``cur`` cluster:
+      n_files            files in the cluster today
+      n_shared_content   files whose content existed in ``other``
+      n_only_content     files whose content is new vs ``other``
+      n_counterpart_clusters  distinct ``other`` clusters the shared content
+                              came from
+      event              'new' (no shared content), 'merged' (content from
+                         >1 counterpart cluster — the would-merge signal),
+                         'grown' (one counterpart + new content), 'stable'
+
+    Called as cluster_diff(today, yesterday) it reports merges/growth;
+    swapped, the 'merged' rows are yesterday's clusters that SPLIT today.
+
+    Scale shape: one dropDuplicates + one equi-join on content_sha256
+    (short keys — content never moves) and one partial-aggregable groupBy
+    per cluster; output is cluster-count sized."""
+    other_map = other.select(
+        CONTENT_SHA, F.col("cluster_id").alias("_other_cluster")
+    ).dropDuplicates([CONTENT_SHA])
+    joined = cur.select(CONTENT_SHA, "cluster_id").join(
+        other_map, CONTENT_SHA, "left"
+    )
+    rep = joined.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.count("_other_cluster").cast("long").alias("n_shared_content"),
+        F.sum(F.when(F.col("_other_cluster").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_content"),
+        F.countDistinct("_other_cluster").cast("long").alias("n_counterpart_clusters"),
+    )
+    event = (
+        F.when(F.col("n_shared_content") == 0, F.lit("new"))
+        .when(F.col("n_counterpart_clusters") > 1, F.lit("merged"))
+        .when(F.col("n_only_content") > 0, F.lit("grown"))
+        .otherwise(F.lit("stable"))
+    )
+    return rep.withColumn("event", event)

@@ -143,3 +143,38 @@ def test_incremental_kernel_runs_only_on_delta(spark, snaps):
     got_new = {r["content_sha256"] for r in delta.collect()}
     assert got_new == expect_new
     assert 0 < len(expect_new) < len(shas2)  # both branches genuinely exercised
+
+
+def test_cluster_diff_events(spark):
+    """Synthetic two-day clusters_all tables with every transition planted:
+    stable, grown (new content joins), merged (content from two yesterday
+    clusters), new (all-new content); swapped args report the split."""
+    cols = ["content_sha256", "cluster_id"]
+    yesterday = spark.createDataFrame(
+        [
+            ("s1", 1), ("s2", 1),          # cluster 1
+            ("s3", 3),                      # cluster 3
+            ("s4", 4), ("s5", 4),          # cluster 4
+        ],
+        cols,
+    )
+    today = spark.createDataFrame(
+        [
+            ("s1", 1), ("s2", 1),          # stable
+            ("s3", 3), ("s6", 3),          # grown (s6 is new content)
+            ("s4", 7), ("s5", 8),          # yesterday's 4 SPLIT into 7+8
+            ("s9", 9), ("s10", 9),         # new cluster, all-new content
+        ],
+        cols,
+    )
+    from minhash_spark.operators.history import cluster_diff
+
+    fwd = {r["cluster_id"]: r for r in cluster_diff(today, yesterday).collect()}
+    assert fwd[1]["event"] == "stable" and fwd[1]["n_files"] == 2
+    assert fwd[3]["event"] == "grown" and fwd[3]["n_only_content"] == 1
+    assert fwd[7]["event"] == "stable" and fwd[8]["event"] == "stable"
+    assert fwd[9]["event"] == "new" and fwd[9]["n_shared_content"] == 0
+    back = {r["cluster_id"]: r for r in cluster_diff(yesterday, today).collect()}
+    assert back[4]["event"] == "merged"  # split seen from yesterday's side
+    assert back[4]["n_counterpart_clusters"] == 2
+    assert back[1]["event"] == "stable" and back[3]["event"] == "stable"
