@@ -5,6 +5,7 @@ cluster-size histogram and dedup ratios computed from the clusters table.
 Example:
     python jobs/report.py --checkpoints /data/dedup_ckpt
     python jobs/report.py --checkpoints ... --no-spark   # manifests only
+    python jobs/report.py --checkpoints today_ckpt --diff-against yday_ckpt
 
 The manifest part reads _manifest.json files on the driver; the histogram
 part runs one partial-agg Spark job over the clusters table (two-level
