@@ -57,6 +57,14 @@ def main():
     )
     p.add_argument("--shards-path", default=None, help="output dir for --shards-out")
     p.add_argument(
+        "--heads",
+        default=None,
+        help="parquet (repo, commit) manifest of snapshot heads: restrict "
+        "the input to files reachable from each repo's head commit "
+        "(broadcast semi-join, operators/history.py select_snapshot) — the "
+        "standard first step when the input table holds multiple commits",
+    )
+    p.add_argument(
         "--prev-checkpoints",
         default=None,
         help="checkpoint root of the PREVIOUS snapshot's run: its signatures "
@@ -86,6 +94,10 @@ def main():
     )
     spark = build_session(app_name="minhash-dedup")
     files = spark.read.parquet(args.input)
+    if args.heads:
+        from minhash_spark.operators.history import select_snapshot
+
+        files = select_snapshot(files, spark.read.parquet(args.heads))
     pipe = DedupPipeline(spark, TableIO(args.checkpoints), cfg)
     prev_sigs = None
     if args.prev_checkpoints:
