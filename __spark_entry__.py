@@ -34,11 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the FIRST 50
     # dict entries.  Entries the driver has never checked (the round-4
-    # additions X47-X61) lead; long-stable driver-green entries (green r2+r3:
-    # TPC-H x4, event_* x5, token_counts, quality_scores, leakage_safe_split,
-    # source_dedup_report, and the r3-green cross_corpus/passage/tfidf/
-    # lm_scores/common_spans block) sit past the window — they remain covered
-    # by tools/check_oracles.py and pytest.
+    # additions X47-X64) lead; long-stable driver-green entries (green r2+r3:
+    # TPC-H x4, event_* x5, token_counts, quality_scores, stratified_sample,
+    # leakage_safe_split, source_dedup_report, and the r3-green cross_corpus/
+    # passage/tfidf/lm_scores/common_spans block) sit past the window — they
+    # remain covered by tools/check_oracles.py and pytest.
     return {
         # dedup pipeline operators (SURVEY §2.2-2.3)
         "exact_dup_clusters": Q.q_exact_dup_clusters,
