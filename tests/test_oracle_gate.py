@@ -43,3 +43,34 @@ def test_dtype_class_families():
     # string/object columns never false-positive against numerics via 'other'
     c = pd.DataFrame({"c": ["x"]})
     assert not dtype_mismatches(c, b)
+
+
+def test_never_driver_checked_queries_sit_inside_the_window():
+    """The driver's correctness gate evaluates only the FIRST 50 queries()
+    entries. Mechanical guard for the ordering discipline: every entry that
+    has never earned a driver row (green hash, or a rows-only record for
+    no-oracle entries) in any CORRECTNESS_r*.json must sit inside the
+    window; only driver-proven entries may rotate past it. A red row
+    (hash_match=false) is NOT evidence — the entry stays in the window
+    until it greens."""
+    import glob
+    import json
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root))
+    import __spark_entry__ as E
+
+    names = list(E.queries())
+    covered: set[str] = set()
+    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        for k, v in json.load(open(f)).items():
+            if v.get("hash_match") is True or (
+                v.get("err") == "no_oracle" and v.get("spark_rows") is not None
+            ):
+                covered.add(k)
+    stragglers = [
+        (i, n) for i, n in enumerate(names) if n not in covered and i >= 50
+    ]
+    assert not stragglers, (
+        f"queries with no driver evidence outside the 50-entry window: {stragglers}"
+    )
