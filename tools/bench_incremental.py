@@ -67,7 +67,12 @@ def main():
             F.concat(F.lit("// new day2 file\n"), F.col("content")).alias("content"),
         )
     )
-    day2_path = os.path.join(bench.BENCH_DATA, "corpus_b_day2")
+    # cache key carries the day-1 spec so a CORPUS_SPEC change regenerates
+    spec = bench.CORPUS_SPEC
+    day2_path = os.path.join(
+        bench.BENCH_DATA,
+        f"corpus_b_day2_{spec['n_clusters']}_{spec['n_singletons']}_{spec['seed']}",
+    )
     if not os.path.exists(os.path.join(day2_path, "_SUCCESS")):
         mutated.unionByName(new_files).repartition(64).write.mode("overwrite").parquet(
             day2_path
