@@ -235,9 +235,9 @@ def main():
         2,
     )
     total_min = round(sum(t["min"] for t in timings.values()), 2)
-    # like-for-like round comparison: the suite GREW in round 4 (12 new
-    # queries), so the headline total is not comparable to BENCH_r03 — this
-    # subtotal restricts to the round-3 query set
+    # like-for-like round comparison: the suite GREW in round 4 (13 new
+    # queries, X50-X64), so the headline total is not comparable to BENCH_r03
+    # — this subtotal restricts to the round-3 query set
     r4_new = {
         "shard_manifest_docs", "dedup_rewrite_docs", "word_entropy_docs",
         "threshold_sweep_docs", "quality_weighted_docs", "length_histogram_docs",

@@ -113,7 +113,13 @@ def main():
                 "carry-forward would not be bit-exact"
             )
         prev_sigs = prev_io.read(spark, DedupPipeline.T_SIG)
-    out = pipe.run(files, prev_signatures=prev_sigs)
+    # the manifest hash rides along so the pipeline re-validates at its own
+    # API boundary (ADVICE r4: not only this CLI enforces the invariant)
+    out = pipe.run(
+        files,
+        prev_signatures=prev_sigs,
+        prev_signature_hash=None if prev_sigs is None else prev_hash,
+    )
     n = out.count()
     result = {
         "rows_out": n,

@@ -113,8 +113,20 @@ class DedupPipeline:
         files: DataFrame,
         input_fp: str | None = None,
         prev_signatures: DataFrame | None = None,
+        prev_signature_hash: str | None = None,
     ) -> DataFrame:
         cfg = self.cfg
+        if prev_signatures is not None and prev_signature_hash is not None:
+            # carry-forward is bit-exact ONLY if the previous snapshot's
+            # signatures were computed under an identical kernel+banding
+            # config; enforce at the API boundary (not just the dedup CLI)
+            # so programmatic callers cannot silently mix configs
+            if prev_signature_hash != cfg.signature_hash():
+                raise ValueError(
+                    "prev_signatures were computed under a different signature "
+                    f"config ({prev_signature_hash} != {cfg.signature_hash()}); "
+                    "carry-forward would not be bit-exact"
+                )
         self._input_fp = input_fp if input_fp is not None else input_fingerprint(files)
         exclude = None
         if cfg.filter_common_shingles and cfg.tokenizer == "char_shingle":

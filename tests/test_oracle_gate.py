@@ -74,3 +74,43 @@ def test_never_driver_checked_queries_sit_inside_the_window():
     assert not stragglers, (
         f"queries with no driver evidence outside the 50-entry window: {stragglers}"
     )
+
+
+def test_stale_driver_evidence_rotates_back_into_the_window():
+    """Freshness discipline (VERDICT r4 item 1): with >50 queries the window
+    must alternate cohorts so no entry's newest driver row is ever more than
+    one round old. Mechanically: let R be the newest CORRECTNESS round on
+    disk; any entry whose newest green/rows-only row is from a round < R is
+    already one round stale and MUST sit inside the first-50 window now, so
+    the upcoming driver run refreshes it before it goes two rounds stale."""
+    import glob
+    import json
+    import re
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root))
+    import __spark_entry__ as E
+
+    names = list(E.queries())
+    latest: dict[str, int] = {}
+    rounds = []
+    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", Path(f).name).group(1))
+        rounds.append(rnd)
+        for k, v in json.load(open(f)).items():
+            if v.get("hash_match") is True or (
+                v.get("err") == "no_oracle" and v.get("spark_rows") is not None
+            ):
+                latest[k] = max(latest.get(k, 0), rnd)
+    if not rounds:
+        return
+    newest = max(rounds)
+    stale_outside = [
+        (i, n, latest[n])
+        for i, n in enumerate(names)
+        if i >= 50 and n in latest and latest[n] < newest
+    ]
+    assert not stale_outside, (
+        f"entries whose newest driver row predates round {newest} must be "
+        f"inside the 50-entry window: {stale_outside}"
+    )

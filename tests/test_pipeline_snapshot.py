@@ -43,7 +43,12 @@ def test_snapshot_carry_forward_bit_identical(spark, snap_dfs, tmp_path):
     # snapshot 2, incremental vs full
     io_inc = TableIO(str(tmp_path / "day2_inc"))
     io_full = TableIO(str(tmp_path / "day2_full"))
-    out_inc = DedupPipeline(spark, io_inc, CFG).run(df2, prev_signatures=prev_sigs)
+    out_inc = DedupPipeline(spark, io_inc, CFG).run(
+        df2,
+        prev_signatures=prev_sigs,
+        prev_signature_hash=TableIO(str(tmp_path / "day1"))
+        .manifest(DedupPipeline.T_SIG)["metrics"]["signature_hash"],
+    )
     out_full = DedupPipeline(spark, io_full, CFG).run(df2)
 
     def sig_map(io):
@@ -81,3 +86,27 @@ def test_snapshot_carry_forward_refuses_common_shingle_filter(spark, snap_dfs, t
     pipe = DedupPipeline(spark, TableIO(str(tmp_path / "x")), cfg)
     with pytest.raises(ValueError, match="filter_common_shingles"):
         pipe.run(df2, prev_signatures=df1.limit(0))
+
+
+def test_carry_forward_refuses_mismatched_signature_config(spark, snap_dfs, tmp_path):
+    """ADVICE r4: the config-identity gate must live at the pipeline API
+    boundary, not only in the dedup CLI — a programmatic caller passing a
+    signatures table computed under a different kernel/banding config must
+    get a hard error, not silently non-bit-exact carry-forward."""
+    _, _, df1, df2 = snap_dfs
+    other = MinHashConfig(
+        seed=1,  # different hash family -> different signature_hash
+        size=128,
+        bit=1,
+        tokenizer="char_shingle",
+        tokenizer_params={"k": 9},
+        num_bands=32,
+        rows_per_band=4,
+    )
+    pipe = DedupPipeline(spark, TableIO(str(tmp_path / "y")), CFG)
+    with pytest.raises(ValueError, match="different signature config"):
+        pipe.run(
+            df2,
+            prev_signatures=df1.limit(0),
+            prev_signature_hash=other.signature_hash(),
+        )

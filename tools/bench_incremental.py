@@ -56,9 +56,13 @@ def main():
             F.concat(F.col("content"), F.lit("\n// day2 touch")),
         ).otherwise(F.col("content")),
     )
-    n1 = day1.count()
+    # deterministic ~1% slice (hash-filter, not order-dependent limit) so the
+    # cached day-2 corpus is byte-stable across regenerations of the same
+    # CORPUS_SPEC; offset by 50 so it doesn't overlap the mutation slice
     new_files = (
-        day1.limit(max(1, n1 // 100))
+        day1.filter(
+            F.pmod(F.abs(F.xxhash64("repo", "path")) + F.lit(50), F.lit(100)) == 0
+        )
         .select(
             F.concat(F.lit("new/"), F.col("repo")).alias("repo"),
             "path",
@@ -71,13 +75,15 @@ def main():
     spec = bench.CORPUS_SPEC
     day2_path = os.path.join(
         bench.BENCH_DATA,
-        f"corpus_b_day2_{spec['n_clusters']}_{spec['n_singletons']}_{spec['seed']}",
+        # v2: deterministic hash-slice for new files (was order-dependent limit)
+        f"corpus_b_day2v2_{spec['n_clusters']}_{spec['n_singletons']}_{spec['seed']}",
     )
     if not os.path.exists(os.path.join(day2_path, "_SUCCESS")):
         mutated.unionByName(new_files).repartition(64).write.mode("overwrite").parquet(
             day2_path
         )
     day2 = spark.read.parquet(day2_path)
+    n1 = day1.count()
     n2 = day2.count()
 
     cfg = MinHashConfig(
@@ -97,7 +103,9 @@ def main():
             shutil.rmtree(ckpt, ignore_errors=True)
             t0 = time.time()
             DedupPipeline(spark, TableIO(ckpt), cfg).run(
-                day2, prev_signatures=prev_sigs
+                day2,
+                prev_signatures=prev_sigs,
+                prev_signature_hash=None if prev_sigs is None else cfg.signature_hash(),
             ).count()
             wall = time.time() - t0
             io = TableIO(ckpt)
