@@ -928,22 +928,36 @@ def oracle_sql() -> dict[str, str]:
                    clean_text, length(clean_text)::BIGINT AS n_chars_clean
             FROM c
         """,
-        # ASCII corpus (verified — see multimodal_features note): per-char
-        # codepoints == utf-8 bytes, so the frame windows are substrings.
+        # Real PPM frame parsing on the Spark side (operators/media.py); the
+        # oracle reproduces the synth closed form analytically: n_frames/W/H
+        # are mod-formulas of doc_id, the frame sum is sum over (r, c, ch) of
+        # (doc_id + 19f + 7r + 3c + 5ch) % 256. A header-scan bug in the
+        # parser (wrong frame offset) diverges here at the value hash.
         "multimodal_frames": """
-            WITH fr AS (
-              SELECT doc_id, text, unnest([0, 1, 2, 3]) AS fi FROM documents
-            ), o AS (
-              SELECT doc_id, fi, (fi * length(text)) // 4 AS off,
-                     substr(text, ((fi * length(text)) // 4) + 1, 16) AS frame
-              FROM fr
+            WITH v AS (
+              SELECT doc_id,
+                     (4 + doc_id % 5) AS n_frames,
+                     (8 + doc_id % 9) AS w,
+                     (4 + doc_id % 7) AS h
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_frames, w, h, si,
+                     (si * n_frames) // 4 AS frame_idx
+              FROM v, LATERAL (SELECT unnest([0, 1, 2, 3]) AS si)
             )
-            SELECT doc_id, fi::BIGINT AS frame_idx, off::BIGINT AS offset,
-                   length(frame)::BIGINT AS frame_len,
-                   coalesce(list_sum(list_transform(split(frame, ''),
-                                                    c -> ascii(c))), 0)::BIGINT
-                     AS frame_sum
-            FROM o
+            SELECT s.doc_id,
+                   s.si::BIGINT AS sample_i,
+                   s.frame_idx::BIGINT AS frame_idx,
+                   s.n_frames::BIGINT AS n_frames,
+                   s.w::BIGINT AS width,
+                   s.h::BIGINT AS height,
+                   sum((s.doc_id + 19 * s.frame_idx + 7 * rr.r + 3 * cc.c
+                        + 5 * hh.ch) % 256)::BIGINT AS frame_sum
+            FROM s,
+                 LATERAL (SELECT unnest(range(0, s.h)) AS r) rr,
+                 LATERAL (SELECT unnest(range(0, s.w)) AS c) cc,
+                 LATERAL (SELECT unnest([0, 1, 2]) AS ch) hh
+            GROUP BY 1, 2, 3, 4, 5, 6
         """,
         "repetition_scores": """
             WITH t AS (
@@ -1104,26 +1118,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY node
         """,
-        # corpus is pure ASCII (verified: octet_length(encode(text)) ==
-        # length(text) at every SF), so per-char codepoints == utf-8 bytes and
-        # the byte moments are exactly reproducible in SQL; integer sums are
-        # exact, f_mean is the same int/int double division on both sides.
+        # Real BMP/WAV decode on the Spark side (operators/media.py); the
+        # oracle computes every decoded feature analytically from the synth
+        # closed forms (even doc_id -> BMP gradient image, odd -> PCM16 WAV
+        # chirp). n_bytes pins container overhead: BMP = 54 + H*ceil4(3W),
+        # WAV = 44 + 2*n_samples. A stride/flip/chunk-walk decode bug
+        # diverges at the value hash, not just row counts.
         "multimodal_features": """
-            WITH t AS (
-              SELECT doc_id,
-                     list_transform(split(text, ''), c -> ascii(c)) AS codes
-              FROM documents
+            WITH img AS (
+              SELECT d.doc_id,
+                     (16 + d.doc_id % 17) AS w,
+                     (8 + d.doc_id % 13) AS h,
+                     sum((3 * d.doc_id + 11 * rr.r + cc.c) % 256) AS sum_r,
+                     sum((2 * d.doc_id + rr.r + 5 * cc.c) % 256) AS sum_g,
+                     sum((d.doc_id + 7 * rr.r + 3 * cc.c) % 256) AS sum_b,
+                     sum(((3 * d.doc_id + 11 * rr.r + cc.c) % 256
+                          + 2 * ((2 * d.doc_id + rr.r + 5 * cc.c) % 256)
+                          + (d.doc_id + 7 * rr.r + 3 * cc.c) % 256) // 4)
+                       AS sum_luma_q4
+              FROM documents d,
+                   LATERAL (SELECT unnest(range(0, 8 + d.doc_id % 13)) AS r) rr,
+                   LATERAL (SELECT unnest(range(0, 16 + d.doc_id % 17)) AS c) cc
+              WHERE d.doc_id % 2 = 0
+              GROUP BY 1, 2, 3
+            ), aud AS (
+              SELECT doc_id, (256 + (doc_id % 128) * 16) AS n
+              FROM documents WHERE doc_id % 2 = 1
+            ), audagg AS (
+              SELECT a.doc_id, a.n,
+                     sum((37 * a.doc_id + tt.t * tt.t) % 4096 - 2048) AS sum_sample,
+                     sum(abs((37 * a.doc_id + tt.t * tt.t) % 4096 - 2048))
+                       AS sum_abs_sample
+              FROM aud a, LATERAL (SELECT unnest(range(0, a.n)) AS t) tt
+              GROUP BY 1, 2
             )
-            SELECT doc_id,
-                   len(codes)::BIGINT AS n_bytes,
-                   coalesce(list_sum(codes), 0)::BIGINT AS byte_sum,
-                   coalesce(list_sum(list_transform(codes, x -> x*x)), 0)::BIGINT AS byte_sq_sum,
-                   coalesce(list_min(codes), 0)::BIGINT AS byte_min,
-                   coalesce(list_max(codes), 0)::BIGINT AS byte_max,
-                   CASE WHEN len(codes) > 0
-                        THEN list_sum(codes)::BIGINT::DOUBLE / len(codes)
-                        ELSE 0.0 END AS f_mean
-            FROM t
+            SELECT doc_id, 'image/bmp' AS mime,
+                   (54 + h * ((3 * w + 3) // 4 * 4))::BIGINT AS n_bytes,
+                   w::BIGINT AS width, h::BIGINT AS height,
+                   sum_r::BIGINT AS sum_r, sum_g::BIGINT AS sum_g,
+                   sum_b::BIGINT AS sum_b, sum_luma_q4::BIGINT AS sum_luma_q4,
+                   NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+                   NULL::BIGINT AS sum_sample, NULL::BIGINT AS sum_abs_sample,
+                   NULL::BIGINT AS duration_ms
+            FROM img
+            UNION ALL
+            SELECT doc_id, 'audio/wav' AS mime,
+                   (44 + 2 * n)::BIGINT AS n_bytes,
+                   NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+                   NULL::BIGINT, NULL::BIGINT,
+                   8000::BIGINT AS sample_rate, n::BIGINT AS n_samples,
+                   sum_sample::BIGINT AS sum_sample,
+                   sum_abs_sample::BIGINT AS sum_abs_sample,
+                   (n * 1000 // 8000)::BIGINT AS duration_ms
+            FROM audagg
         """,
         # code-file stats/filter: mean line length recovered arithmetically
         # (n_chars - separators) / n_lines — one exact int/int division, so

@@ -47,6 +47,49 @@ def ensure_bench_corpus(spark) -> str:
     return path
 
 
+def vm_canary() -> dict:
+    """Fixed pure-NumPy workload timed to gauge sandbox/VM health (VERDICT r4
+    item 3: BENCH_r04 was recorded in a degraded VM window and per-query walls
+    moved 2-4x with zero code change). Two signals: ``cold_s`` includes a
+    512 MB first-touch allocation (this sandbox serializes page-fault handling
+    globally, so cold_s spikes when the VM is degraded); ``warm_s`` re-runs
+    the same arithmetic on the already-faulted buffer (pure CPU). Cross-round
+    bench deltas should be read as value / (canary vs the other round's
+    canary) — a 30% canary swing explains a 30% suite swing without any code
+    change. The checksum pins the workload itself as fixed."""
+    import numpy as np
+
+    def fold(a):
+        for _ in range(3):
+            a = (a * np.uint64(0xFF51AFD7ED558CCD)) ^ (a >> np.uint64(33))
+        return a
+
+    t0 = time.time()
+    a = np.arange(64_000_000, dtype=np.uint64)  # 512 MB first-touch
+    a = fold(a)
+    cold = round(time.time() - t0, 3)
+    t0 = time.time()
+    a = fold(a)
+    warm = round(time.time() - t0, 3)
+    checksum = int(a[::1_000_000].sum()) & 0xFFFFFFFF
+    del a
+    return {"cold_s": cold, "warm_s": warm, "checksum": checksum}
+
+
+# Queries whose first in-suite wall builds a session cache (verify edge DAG /
+# pair-set localCheckpoint) that later runs reuse: runs[0] is the cache-BUILD
+# cost, min is the warm cost. The sidecar splits them explicitly (VERDICT r4
+# item 10) so the headline's first-run semantics stay transparent.
+SESSION_CACHED = {
+    "near_dup_pairs_docs", "near_dup_clusters_docs", "cluster_cohesion_docs",
+    "char_ngram_dup_pairs_docs", "containment_dup_pairs_docs",
+    "embedding_near_dup_pairs", "cluster_representatives_docs",
+    "dedup_skew_report_docs", "threshold_sweep_docs", "cluster_assign_docs",
+    "method_agreement_docs", "dedup_rewrite_docs", "dedup_growth_curve_docs",
+    "source_dedup_report_docs",
+}
+
+
 def run_pipeline(spark, corpus_path: str) -> dict:
     from minhash_spark.config import MinHashConfig
     from minhash_spark.plans.pipeline import DedupPipeline
@@ -123,6 +166,8 @@ def main():
 
     from minhash_spark.session import build_session
 
+    canary = vm_canary()
+
     spark = build_session(app_name="minhash-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -131,6 +176,7 @@ def main():
     if pipeline_only:
         res = run_pipeline(spark, corpus_path)
         res["cpus"] = int(cpus)
+        res["canary"] = canary
         print(json.dumps(res))
         spark.stop()
         return
@@ -259,6 +305,12 @@ def main():
     # parsed: null. The stdout line therefore stays on the documented
     # {"queries": {name: sec}} scalar contract (first-run wall, the
     # round-comparable number); the full per-run detail goes to a sidecar.
+    # explicit cold-build vs warm split for session-cached queries (the
+    # headline "value" sums first-run walls, which for these is cache build)
+    for name in SESSION_CACHED:
+        if name in timings:
+            timings[name]["cold_build_s"] = timings[name]["runs"][0]
+            timings[name]["warm_s"] = timings[name]["min"]
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total_first,
@@ -266,6 +318,7 @@ def main():
         "value_r3_comparable": total_first_r3cmp,
         "unit": "sec",
         "query_runs_per_query": n_query_runs,
+        "canary": canary,
         "queries": timings,
         "sf": sf_dir,
         "pipeline": pipe_res,
@@ -293,6 +346,7 @@ def main():
             for k in ("wall_s", "files", "files_per_sec", "clusters", "scheme")
         },
         "cpus": int(cpus),
+        "canary": canary,
         "detail": "BENCH/last_run_detail.json",
     }
     out = json.dumps(line)

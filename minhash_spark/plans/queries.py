@@ -1240,68 +1240,148 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents' text bytes stand in for an opaque media
-    blob (binary column + typed metadata); feature extraction runs through
-    mapInPandas with a DETERMINISTIC STUB decoder (real image/audio libs are
-    not installed in this sandbox — the Spark-side schema/batching/partition
-    plumbing is the real, tested part)."""
+    """Multimodal columns as first-class data: each document carries an opaque
+    ``binary`` media blob plus a mime type; features come from REAL container
+    decoding (round-5 upgrade — the round-1..4 byte-moment stub is gone).
 
+    Stage 1 synthesizes the blob deterministically from ``doc_id`` (even ids
+    get a 24-bit BMP gradient image, odd ids a PCM16 WAV chirp — no media
+    libs exist in this sandbox, and no external data is allowed, so the
+    corpus IS the fixture). Stage 2 decodes with the from-scratch parsers in
+    ``operators/media.py`` (BMP row padding + bottom-up flip + BGR order,
+    RIFF chunk walk) and emits typed features. Because the synth formulas
+    are closed-form, the DuckDB oracle computes every feature analytically:
+    a stride/flip/chunk-offset decode bug diverges at the driver's value
+    hash. n_bytes is the real container size, pinning encoder overhead too.
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        # null text -> empty blob (np.frombuffer(None) would crash the batch)
-        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("blob"),
-        F.lit("application/octet-stream").alias("mime"),
-    )
+    Scale shape: one mapInPandas pass, no shuffle, column-pruned scan
+    (doc_id only); per row a <100-byte header parse plus vectorized NumPy
+    payload math. On a production lake the synth stage is replaced by
+    reading the blob column; the decode stage is unchanged."""
+    from minhash_spark.operators import media
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
 
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
             T.StructField("n_bytes", T.LongType()),
-            T.StructField("byte_sum", T.LongType()),
-            T.StructField("byte_sq_sum", T.LongType()),
-            T.StructField("byte_min", T.LongType()),
-            T.StructField("byte_max", T.LongType()),
-            T.StructField("f_mean", T.DoubleType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("sum_luma_q4", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sum_sample", T.LongType()),
+            T.StructField("sum_abs_sample", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
         ]
     )
+    cols = [f.name for f in schema.fields]
 
     def extract(batches):
         for pdf in batches:
-            # STUB decode: a real implementation would decode the media and
-            # pool model features; here deterministic byte moments keep the
-            # plumbing testable AND SQL-oracle-checkable (scalar columns —
-            # integer sums are exact, f_mean is one exact int/int division).
-            blobs = pdf["blob"]
-            n = len(blobs)
-            nb = np.zeros(n, dtype=np.int64)
-            bs = np.zeros(n, dtype=np.int64)
-            bq = np.zeros(n, dtype=np.int64)
-            bmin = np.zeros(n, dtype=np.int64)
-            bmax = np.zeros(n, dtype=np.int64)
-            for i, b in enumerate(blobs):
-                a = np.frombuffer(b or b"", dtype=np.uint8).astype(np.int64)
-                nb[i] = len(a)
-                if len(a):
-                    bs[i] = a.sum()
-                    bq[i] = (a * a).sum()
-                    bmin[i] = a.min()
-                    bmax[i] = a.max()
-            with np.errstate(invalid="ignore"):
-                fmean = np.where(nb > 0, bs / np.maximum(nb, 1), 0.0)
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                row = dict.fromkeys(cols)
+                row["doc_id"] = did
+                if did % 2 == 0:
+                    blob = media.encode_bmp(media.synth_image(did))
+                    w, h, rgb = media.decode_bmp(blob)
+                    px = rgb.astype(np.int64)
+                    row.update(
+                        mime="image/bmp",
+                        n_bytes=len(blob),
+                        width=w,
+                        height=h,
+                        sum_r=int(px[:, :, 0].sum()),
+                        sum_g=int(px[:, :, 1].sum()),
+                        sum_b=int(px[:, :, 2].sum()),
+                        # integer luma proxy (R + 2G + B) // 4 — exact in SQL
+                        sum_luma_q4=int(
+                            ((px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]) // 4).sum()
+                        ),
+                    )
+                else:
+                    blob = media.encode_wav_pcm16(media.synth_audio(did), media.AUDIO_RATE)
+                    rate, _ch, s = media.decode_wav(blob)
+                    s = s.astype(np.int64)
+                    row.update(
+                        mime="audio/wav",
+                        n_bytes=len(blob),
+                        sample_rate=rate,
+                        n_samples=len(s),
+                        sum_sample=int(s.sum()),
+                        sum_abs_sample=int(np.abs(s).sum()),
+                        duration_ms=len(s) * 1000 // rate,
+                    )
+                for k, v in row.items():
+                    out[k].append(v)
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": nb,
-                    "byte_sum": bs,
-                    "byte_sq_sum": bq,
-                    "byte_min": bmin,
-                    "byte_max": bmax,
-                    "f_mean": fmean,
-                }
+                {k: pd.array(out[k], dtype="string" if k == "mime" else "Int64") for k in cols}
             )
 
     return docs.mapInPandas(extract, schema=schema)
+
+
+MM_FRAME_SAMPLES = 4  # frames sampled per video (at offsets i * n_frames / K)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like blobs with a REAL frame parser: each
+    document synthesizes a concatenated binary-PPM (P6) stream (a minimal
+    self-describing multi-frame container), and the sampler walks the PPM
+    headers in ``operators/media.py`` to locate frame k — offsets are
+    discovered by parsing, never assumed. K frames are sampled at the
+    deterministic offsets ``(i * n_frames) // K`` (the shape a real video
+    frame sampler has) and per-frame pixel sums are emitted.
+
+    Row-multiplying mapInPandas (K output rows per input row), no shuffle;
+    the DuckDB oracle reproduces every value analytically from the synth
+    closed form, so a header-scan bug (e.g. mis-stepping past a frame
+    payload) fails the driver's value hash."""
+    from minhash_spark.operators import media
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_i", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("frame_sum", T.LongType()),
+        ]
+    )
+
+    def sample(batches):
+        K = MM_FRAME_SAMPLES
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = b"".join(media.encode_ppm(f) for f in media.synth_video(did))
+                frames = list(media.iter_ppm_frames(blob))
+                n = len(frames)
+                for i in range(K):
+                    idx = (i * n) // K
+                    w, h, rgb = frames[idx]
+                    out["doc_id"].append(did)
+                    out["sample_i"].append(i)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame_sum"].append(int(rgb.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(sample, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1583,52 +1663,6 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.length(clean).cast("long").alias("n_chars_clean"),
     )
-
-
-MM_FRAMES = 4  # frames sampled per blob
-MM_FRAME_BYTES = 16  # bytes per sampled frame
-
-
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing for video-like blobs: K frames at
-    deterministic offsets (i * n/K), each a fixed-width byte window, with a
-    per-frame byte checksum. The decode step is the SAME disclosed stub as
-    q_multimodal_features (no media libs in this sandbox) — the real, tested
-    part is the Spark shape: one mapInPandas pass emitting K rows per input
-    row (a row-multiplying extractor, the shape a real frame sampler has),
-    NumPy-batched, no shuffle."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("blob"),
-    )
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("frame_idx", T.LongType()),
-            T.StructField("offset", T.LongType()),
-            T.StructField("frame_len", T.LongType()),
-            T.StructField("frame_sum", T.LongType()),
-        ]
-    )
-
-    def sample(batches):
-        for pdf in batches:
-            out = {k: [] for k in ("doc_id", "frame_idx", "offset", "frame_len", "frame_sum")}
-            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
-                a = np.frombuffer(blob or b"", dtype=np.uint8).astype(np.int64)
-                n = len(a)
-                for i in range(MM_FRAMES):
-                    off = (i * n) // MM_FRAMES
-                    frame = a[off : off + MM_FRAME_BYTES]
-                    out["doc_id"].append(did)
-                    out["frame_idx"].append(i)
-                    out["offset"].append(off)
-                    out["frame_len"].append(len(frame))
-                    out["frame_sum"].append(int(frame.sum()) if len(frame) else 0)
-            yield pd.DataFrame(out)
-
-    return docs.mapInPandas(sample, schema=schema)
 
 
 def q_event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
