@@ -93,8 +93,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": Q.q_source_rollup,
         "vocab": Q.q_vocab,
         "pii_scan": Q.q_pii_scan,
-        # slot 50 ends above; (a) round-5 additions are inserted here as
-        # they land, displacing the tail of block (d) outward.
+        # ---- (a) round-5 additions (never driver-checked) -----------------
+        # bit_string:true surface parity (rows-only: murmur bytes)
+        "minhash_bitstrings": Q.q_minhash_bitstrings,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # r4-green entries below rotate back into the window next round;
         # until then tools/check_oracles.py + pytest keep them covered.

@@ -19,6 +19,7 @@ from pyspark.sql import SparkSession
 from minhash_spark.config import MinHashConfig
 from minhash_spark.functions.udfs import (
     minhash_b64_udf,
+    minhash_bitstring_udf,
     sig_bitmatch_udf,
     simhash_udf,
 )
@@ -27,10 +28,15 @@ DEFAULT_CFG = MinHashConfig(seed=0, size=128, bit=1, tokenizer="word")
 
 
 def register_sql_functions(spark: SparkSession, cfg: MinHashConfig | None = None) -> None:
-    """Register ``minhash_b64(text)``, ``minhash_bitmatch(sig, sig)`` and
-    ``simhash64(text)`` under the given analyzer config (reference defaults:
-    seed=0, size=128, bit=1, word tokens)."""
+    """Register ``minhash_b64(text)``, ``minhash_bitstring(text)``,
+    ``minhash_bitmatch(sig, sig)`` and ``simhash64(text)`` under the given
+    analyzer config (reference defaults: seed=0, size=128, bit=1, word
+    tokens). ``minhash_bitstring`` is the reference's ``bit_string:true``
+    mapping parameter (MinHashFieldMapper.java:92-93,273-274; exercised by
+    the ``minhash_value2`` field in MinHashPluginTest.java:137-141) — the
+    last reference parameter to gain a SQL-surface registration."""
     cfg = (cfg or DEFAULT_CFG).validate()
     spark.udf.register("minhash_b64", minhash_b64_udf(cfg))
+    spark.udf.register("minhash_bitstring", minhash_bitstring_udf(cfg))
     spark.udf.register("minhash_bitmatch", sig_bitmatch_udf())
     spark.udf.register("simhash64", simhash_udf(cfg))

@@ -39,6 +39,13 @@ _VERIFY_GROUP_CAP = 1024
 # preemption-heavy clusters — the documented knob from the module docstring
 RELIABLE_BARRIERS_CONF = "spark.minhash.reliableBarriers"
 
+# session conf key: "true" makes barrier() a NO-OP so the full logical plan
+# stays visible to .explain(). FOR PLAN AUDITING ONLY (tools/explain_audit.py)
+# — never execute under this mode: barriers also pin nondeterministic
+# boundaries and prevent recompute, so a no-op barrier changes execution
+# semantics, not just performance.
+PLAN_ONLY_BARRIERS_CONF = "spark.minhash.planOnlyBarriers"
+
 
 def barrier(df: DataFrame) -> DataFrame:
     """Intra-stage materialization barrier. ``localCheckpoint()`` by default
@@ -46,7 +53,11 @@ def barrier(df: DataFrame) -> DataFrame:
     round-trip); when ``spark.minhash.reliableBarriers=true`` is set on the
     session (plus ``setCheckpointDir``), uses ``checkpoint()`` so a preempted
     executor replays nothing. The plan shape downstream is identical either
-    way (pytest-pinned)."""
+    way (pytest-pinned). ``spark.minhash.planOnlyBarriers=true`` disables the
+    barrier entirely so audits can capture the pre-materialization build
+    plan — explain-only, see PLAN_ONLY_BARRIERS_CONF."""
+    if df.sparkSession.conf.get(PLAN_ONLY_BARRIERS_CONF, "false") == "true":
+        return df
     if df.sparkSession.conf.get(RELIABLE_BARRIERS_CONF, "false") == "true":
         return df.checkpoint()
     return df.localCheckpoint()

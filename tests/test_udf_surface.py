@@ -269,6 +269,40 @@ def test_sql_surface_matches_dataframe_api(spark):
     assert all(r["h"] is not None for r in sh)
 
 
+def test_sql_bitstring_matches_dataframe_and_golden(spark):
+    """minhash_bitstring on the SQL surface (the reference's bit_string:true
+    mapping parameter, MinHashFieldMapper.java:273-274) must be byte-equal to
+    the DataFrame UDF AND consistent with the b64 encoding of the same
+    signature (bit i of the unpacked bytes == char i of the bit string)."""
+    import base64
+
+    import pyspark.sql.functions as F
+
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.functions.sql import register_sql_functions
+    from minhash_spark.functions.udfs import minhash_bitstring_udf
+
+    register_sql_functions(spark)
+    docs = spark.createDataFrame(
+        [(1, "test 1"), (2, "test 2"), (3, "minhash from sql")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("sql_docs_bits")
+    via_sql = {r["doc_id"]: r["bits"] for r in
+               spark.sql("SELECT doc_id, minhash_bitstring(text) AS bits "
+                         "FROM sql_docs_bits").collect()}
+    cfg = MinHashConfig(seed=0, size=128, bit=1, tokenizer="word")
+    bits = minhash_bitstring_udf(cfg)
+    via_df = {r["doc_id"]: r["b"] for r in
+              docs.select("doc_id", bits(F.col("text")).alias("b")).collect()}
+    assert via_sql == via_df
+    # cross-encoding consistency with the golden b64 vector for "test 1"
+    # (bit string renders bytes MSB-first, kernel.to_bit_string)
+    raw = base64.b64decode("Uji99jenq7da3aNKTYc8yQ==")
+    expect = "".join(f"{b:08b}" for b in raw)
+    assert via_sql[1] == expect[: len(via_sql[1])]
+
+
 def test_multi_config_chunked_fold_parity(monkeypatch):
     """The copy_to fan-out must produce identical minima when its vocabulary
     overflows _UNIQ_FOLD_CHUNK and takes the chunked min-reduce. Calls the

@@ -21,7 +21,9 @@ ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
 AUDITED = [
-    "near_dup_pairs",
+    # near_dup_pairs / fingerprint_matches / threshold_sweep moved to
+    # BUILD_AUDITED below — their steady-state plans are cache reads; the
+    # expensive DAG is captured pre-barrier in the build-plan section
     "exact_dup_clusters",
     "embedding_topk",
     "embedding_ann_lsh",
@@ -31,9 +33,6 @@ AUDITED = [
     "decontaminate",
     "boilerplate_spans",
     "repetition_scores",
-    # fingerprint_matches omitted: it localCheckpoint()s eagerly, so building
-    # it here would RUN the corpus UDF and the captured plan would start at a
-    # lineage-truncated Scan ExistingRDD — auditing nothing useful
     "event_props_rollup",
     "passage_dedup",
     "tfidf_top_terms",
@@ -46,9 +45,6 @@ AUDITED = [
     "secret_scan",
     "license_scan",
     "source_overlap",
-    # embedding_near_dup_pairs omitted since the shared-edge cache: it
-    # eagerly localCheckpoints, so the captured plan is a lineage-truncated
-    # Scan ExistingRDD (same reason as fingerprint_matches above)
     "event_funnel",
     "event_retention",
     "stratified_sample",
@@ -61,9 +57,21 @@ AUDITED = [
     "dedup_growth_curve",
     "approx_corpus_profile",
     "repeated_substring_scores",
-    # near_dup_threshold_sweep omitted: it reads the session edge cache
-    # (localCheckpointed), so the captured plan is lineage-truncated (same
-    # reason as fingerprint_matches above); its join side is 4 literal rows
+    "multimodal_frames",
+]
+
+# Queries whose steady-state plan is a lineage-truncated Scan ExistingRDD
+# (they read session caches built through verify.barrier/localCheckpoint).
+# Audited separately in BUILD-PLAN mode: spark.minhash.planOnlyBarriers=true
+# turns every barrier into a no-op so the full bands -> candidate-join ->
+# verify DAG stays visible to .explain() (VERDICT r4 item 5). Plan capture
+# only — nothing executes in this mode.
+BUILD_AUDITED = [
+    "near_dup_pairs",
+    "embedding_near_dup_pairs",
+    "fingerprint_matches",
+    "near_dup_threshold_sweep",
+    "containment_dup_pairs",
 ]
 
 CHECKS = {
@@ -90,8 +98,7 @@ def main():
         + "; ".join(f"`{k}` = {v}" for k, v in CHECKS.items())
         + ".\n"
     )
-    for name in AUDITED:
-        df = qs[name](spark, sf_dir)
+    def capture(name, df, header):
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
@@ -101,11 +108,45 @@ def main():
             n = plan.count(key)
             if n:
                 flags.append(f"{key}×{n}")
-        out.append(f"## {name}\n")
+        out.append(f"## {header}\n")
         out.append(f"**Plan properties:** {', '.join(flags) or '(none matched)'}\n")
         # keep plans readable: the operator tree section only (before Details)
         tree = plan.split("\n\n")[0]
         out.append("```\n" + tree.strip()[:4000] + "\n```\n")
+
+    for name in AUDITED:
+        capture(name, qs[name](spark, sf_dir), name)
+
+    # ---- pre-cache build plans (VERDICT r4 item 5) ------------------------
+    # barrier() is a no-op under planOnlyBarriers, so the expensive DAG
+    # (band explode -> candidate self-join -> bit-match prefilter -> exact
+    # Jaccard) is what .explain() sees, instead of a cache-read
+    # Scan ExistingRDD. The session caches are cleared around the block so
+    # no other consumer can pick up an un-materialized (no-barrier) frame.
+    out.append(
+        "# Build plans (pre-barrier)\n\n"
+        "The queries below read session caches in steady state; the plans\n"
+        "here are their CACHE-BUILD DAGs, captured with\n"
+        "`spark.minhash.planOnlyBarriers=true` (barriers no-op'd for plan\n"
+        "visibility only — nothing executes in this mode).\n"
+    )
+    from minhash_spark.operators.verify import PLAN_ONLY_BARRIERS_CONF
+    from minhash_spark.plans import queries as Qmod
+
+    def clear_caches():
+        for cache in (
+            Qmod._EDGE_CACHE, Qmod._SIG_CACHE, Qmod._EMB_EDGE_CACHE
+        ):
+            cache.clear()
+
+    clear_caches()
+    spark.conf.set(PLAN_ONLY_BARRIERS_CONF, "true")
+    try:
+        for name in BUILD_AUDITED:
+            capture(name, qs[name](spark, sf_dir), f"{name} (build)")
+    finally:
+        spark.conf.set(PLAN_ONLY_BARRIERS_CONF, "false")
+        clear_caches()
     out.append(
         "## DOUBLE-column hash stability\n\n"
         "Every double column a driver query emits is bit-stable across\n"
