@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- (a) round-5 additions (never driver-checked) -----------------
         # bit_string:true surface parity (rows-only: murmur bytes)
         "minhash_bitstrings": Q.q_minhash_bitstrings,
+        # IVF recall-vs-scan-cost calibration card (rows-only: IVF cells)
+        "ann_operating_curve": Q.q_ann_operating_curve,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # r4-green entries below rotate back into the window next round;
         # until then tools/check_oracles.py + pytest keep them covered.

@@ -69,7 +69,9 @@ def main():
         default=None,
         help="checkpoint root of the PREVIOUS snapshot's run: its signatures "
         "table is carried forward for unchanged content (sha256-keyed), so "
-        "the MinHash kernel runs only on the snapshot's content delta. "
+        "the MinHash kernel runs only on the snapshot's content delta; its "
+        "edges table is likewise carried when the previous run's edge_hash "
+        "matches (LSH + verify run only on pairs touching the delta). "
         "Refused unless the previous run's signature_hash matches this "
         "config (bit-exactness gate) and --filter-common-shingles is off.",
     )
@@ -113,12 +115,30 @@ def main():
                 "carry-forward would not be bit-exact"
             )
         prev_sigs = prev_io.read(spark, DedupPipeline.T_SIG)
+    # edge carry-forward: only when the previous edges manifest exists AND
+    # recorded a matching edge_hash (older checkpoints predate the metric —
+    # they fall back to signature-only carry, never to a wrong answer)
+    prev_edges, prev_ehash = None, None
+    if prev_sigs is not None:
+        em = prev_io.manifest(DedupPipeline.T_EDGES)
+        recorded = ((em or {}).get("metrics") or {}).get("edge_hash")
+        if recorded == cfg.edge_hash():
+            prev_edges = prev_io.read(spark, DedupPipeline.T_EDGES)
+            prev_ehash = recorded
+        elif em is not None:
+            print(
+                f"note: previous edges not carried (edge_hash {recorded} != "
+                f"{cfg.edge_hash()}); signatures still carry forward",
+                file=sys.stderr,
+            )
     # the manifest hash rides along so the pipeline re-validates at its own
     # API boundary (ADVICE r4: not only this CLI enforces the invariant)
     out = pipe.run(
         files,
         prev_signatures=prev_sigs,
         prev_signature_hash=None if prev_sigs is None else prev_hash,
+        prev_edges=prev_edges,
+        prev_edge_hash=prev_ehash,
     )
     n = out.count()
     result = {

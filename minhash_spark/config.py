@@ -120,6 +120,22 @@ class MinHashConfig:
             json.dumps(payload, sort_keys=True, default=str).encode()
         ).hexdigest()[:16]
 
+    # fields that additionally determine which candidate PAIRS become edges
+    # (verification + skew topology) — what a carried-forward edges table
+    # must share with this config to be bit-equal to a fresh recompute
+    _EDGE_FIELDS = (
+        "verify_threshold", "containment_threshold", "substring_verify",
+        "sig_prefilter_margin", "max_bucket_size",
+    )
+
+    def edge_hash(self) -> str:
+        d = asdict(self)
+        payload = {k: d[k] for k in self._SIGNATURE_FIELDS + self._EDGE_FIELDS}
+        payload["_semantics"] = self.SEMANTICS_VERSION
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
     def validate(self) -> "MinHashConfig":
         # fail on the driver at config build, not as a KeyError inside an
         # executor UDF batch

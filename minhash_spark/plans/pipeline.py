@@ -114,6 +114,8 @@ class DedupPipeline:
         input_fp: str | None = None,
         prev_signatures: DataFrame | None = None,
         prev_signature_hash: str | None = None,
+        prev_edges: DataFrame | None = None,
+        prev_edge_hash: str | None = None,
     ) -> DataFrame:
         cfg = self.cfg
         if prev_signatures is not None and prev_signature_hash is not None:
@@ -126,6 +128,23 @@ class DedupPipeline:
                     "prev_signatures were computed under a different signature "
                     f"config ({prev_signature_hash} != {cfg.signature_hash()}); "
                     "carry-forward would not be bit-exact"
+                )
+        if prev_edges is not None:
+            # edge carry-forward additionally needs the previous snapshot's
+            # rep_id -> content_sha256 map (to re-key day-1 edges into this
+            # snapshot's rep ids) and identical verify/skew knobs. The hash
+            # is REQUIRED here — this API is new, so there is no lenient
+            # legacy caller to protect.
+            if prev_signatures is None:
+                raise ValueError(
+                    "prev_edges requires prev_signatures (the previous "
+                    "snapshot's rep_id -> content_sha256 map)"
+                )
+            if prev_edge_hash != cfg.edge_hash():
+                raise ValueError(
+                    "prev_edges were computed under a different edge config "
+                    f"({prev_edge_hash} != {cfg.edge_hash()}); carried edges "
+                    "would not match a fresh recompute"
                 )
         self._input_fp = input_fp if input_fp is not None else input_fingerprint(files)
         exclude = None
@@ -200,6 +219,10 @@ class DedupPipeline:
                 "overflow_buckets": int(over["n"]),
                 "overflow_members": int(over["m"]),
                 "max_bucket_size_cap": cfg.max_bucket_size,
+                # carried-edge comparability identity (verify/skew knobs on
+                # top of the signature identity) — what a NEXT snapshot's
+                # --prev-checkpoints run gates its edge carry-forward on
+                "edge_hash": cfg.edge_hash(),
             }
             contents = signatures.with_identity(files).select(
                 F.col("file_id").alias("rep_id"), "content"
@@ -207,7 +230,84 @@ class DedupPipeline:
             edges = verify.verify_pairs(pairs, sigs, contents, cfg, exclude_sorted=exclude)
             return edges, metrics
 
-        edges = self._run_stage(self.T_EDGES, [self.T_SIG], build_edges)
+        def build_edges_incremental():
+            # Snapshot edge carry-forward (X62 extended to P4-P6, VERDICT r4
+            # item 7): a verified edge is a pure function of (content_a,
+            # content_b, edge config), so day-1 edges between contents still
+            # present today are EXACT — only pairs touching the content
+            # delta need LSH + verify. Day-1 edges are keyed by day-1 rep
+            # ids; re-key them into today's rep ids through content_sha256
+            # (both snapshots' signature tables carry the map). Inner joins
+            # drop edges whose content vanished from today's corpus.
+            #
+            # Fresh pairs come from lsh.incremental_candidate_pairs (the
+            # streaming generator): new-member x all-member candidates with
+            # HISTORY-ANCHORED star caps. Both endpoints old => carried;
+            # at least one endpoint new => generated here; the union is
+            # exactly the full recompute's verified edge set whenever no
+            # bucket crosses max_bucket_size between snapshots (cap-crossing
+            # buckets change star topology, which can only alter which
+            # TRUE-verified pairs are discovered, never admit false ones —
+            # carried pairs all passed exact Jaccard). Equivalence on a
+            # realistic planted corpus is pytest-pinned.
+            prev_map = prev_signatures.select(
+                F.col("rep_id").alias("prev_rep"), "content_sha256"
+            )
+            cur_map = sigs.select("rep_id", "content_sha256")
+            rekey = prev_map.join(cur_map, "content_sha256").select("prev_rep", "rep_id")
+            # barrier: carried feeds the metrics count AND the union write —
+            # materialize the rekey joins once
+            carried = verify.barrier(
+                prev_edges.select("a_id", "b_id", "jaccard", "containment").join(
+                    rekey.select(
+                        F.col("prev_rep").alias("a_id"), F.col("rep_id").alias("new_a")
+                    ),
+                    "a_id",
+                )
+                .join(
+                    rekey.select(
+                        F.col("prev_rep").alias("b_id"), F.col("rep_id").alias("new_b")
+                    ),
+                    "b_id",
+                )
+                .select(
+                    F.least("new_a", "new_b").alias("a_id"),
+                    F.greatest("new_a", "new_b").alias("b_id"),
+                    "jaccard",
+                    "containment",
+                )
+            )
+            flagged = sigs.join(
+                prev_signatures.select("content_sha256").withColumn("_old", F.lit(True)),
+                "content_sha256",
+                "left",
+            ).select("rep_id", "bands", F.col("_old").isNull().alias("is_new"))
+            all_buckets = flagged.select(
+                "rep_id", F.explode("bands").alias("band_hash"), "is_new"
+            )
+            new_buckets = all_buckets.where("is_new").select("band_hash", "rep_id")
+            fresh_pairs = lsh.incremental_candidate_pairs(
+                new_buckets, all_buckets, cfg.max_bucket_size
+            )
+            contents = signatures.with_identity(files).select(
+                F.col("file_id").alias("rep_id"), "content"
+            )
+            fresh = verify.verify_pairs(
+                fresh_pairs, sigs, contents, cfg, exclude_sorted=exclude
+            )
+            edges_out = carried.unionByName(fresh)
+            metrics = {
+                "edge_hash": cfg.edge_hash(),
+                "carried_edges": int(carried.count()),
+                "max_bucket_size_cap": cfg.max_bucket_size,
+            }
+            return edges_out, metrics
+
+        edges = self._run_stage(
+            self.T_EDGES,
+            [self.T_SIG],
+            build_edges if prev_edges is None else build_edges_incremental,
+        )
 
         def build_clusters():
             e = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))

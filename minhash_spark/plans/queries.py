@@ -1666,6 +1666,98 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_CURVE_NPROBES = (1, 2, 4, 8, IVF_CELLS)
+
+
+def q_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF operating-curve data card (VERDICT r4 item 9): measured recall@5
+    AND scan cost per nprobe — the calibration artifact a 100 TB SemDeDup
+    run reads before committing compute to an operating point.
+
+    One corpus pass total: ground truth = brute-force top-5 (the
+    q_embedding_topk plan), cell assignment = one Arrow matmul map. A true
+    (query, neighbor) pair is recovered at a given nprobe iff the neighbor's
+    assigned cell ranks < nprobe in the query's centroid-similarity order —
+    so the whole sweep reduces to ONE tiny cell-rank computation over the
+    50 truth pairs, not one re-run per nprobe. ``scan_frac`` is the mean
+    fraction of the corpus whose exact cosines the probe would compute
+    (sum of probed cell sizes / corpus), i.e. the cost axis of the curve.
+
+    rows-only in the driver gate (IVF assignment is not DuckDB-expressible);
+    recall monotonicity, the recall@nlist == 1.0 endpoint, and consistency
+    with q_embedding_ann_ivf's measured recall are pytest-pinned."""
+    C = _ivf_centroids(spark, sf_dir)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def cell_order(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = Vn @ C.T
+        order = np.argsort(-sims, axis=1).astype(np.int32)  # ALL cells, ranked
+        return pd.Series(list(order))
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned = emb.select("vec_id", cell_order(F.col("v"))[0].alias("cell"))
+    cell_sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_n"))
+    n_vecs = emb.count()
+
+    truth = q_embedding_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    q_orders = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), cell_order(F.col("v")).alias("cells")
+    )
+    # rank (1-based) of each true neighbor's cell in its query's probe order
+    ranked = (
+        truth.join(
+            assigned.select(F.col("vec_id").alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q_orders), "query_id")
+        .select(F.array_position(F.col("cells"), F.col("cell")).alias("cell_rank"))
+    )
+    # probe cost: per (query, probe position) cell size — 10 x nlist rows
+    probe_cost = (
+        q_orders.select(
+            "query_id", F.posexplode("cells").alias("pos", "cell")
+        )
+        .join(cell_sizes, "cell")
+        .select("query_id", "pos", "cell_n")
+    )
+    sweeps = spark.createDataFrame(
+        [(int(p),) for p in ANN_CURVE_NPROBES], "nprobe int"
+    )
+    recall = (
+        sweeps.crossJoin(ranked)
+        .groupBy("nprobe")
+        .agg(
+            F.count("*").cast("long").alias("n_true_pairs"),
+            F.sum(
+                (F.col("cell_rank") <= F.col("nprobe")).cast("long")
+            ).alias("n_found"),
+        )
+    )
+    cost = (
+        sweeps.crossJoin(probe_cost)
+        .where(F.col("pos") < F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg((F.sum("cell_n") / F.countDistinct("query_id")).alias("mean_scanned"))
+    )
+    return (
+        recall.join(cost, "nprobe")
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_true_pairs",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true_pairs"), 4).alias("recall_at_5"),
+            F.round(F.col("mean_scanned") / F.lit(n_vecs), 4).alias("scan_frac"),
+        )
+        .orderBy("nprobe")
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style text normalization, entirely native (regexp_replace/trim run
     JVM-side inside whole-stage codegen — a pure map, no UDF, no shuffle):

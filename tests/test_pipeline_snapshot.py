@@ -88,6 +88,75 @@ def test_snapshot_carry_forward_refuses_common_shingle_filter(spark, snap_dfs, t
         pipe.run(df2, prev_signatures=df1.limit(0))
 
 
+def test_edge_carry_forward_clusters_identical(spark, snap_dfs, tmp_path):
+    """VERDICT r4 item 7: with BOTH signatures and edges carried from the
+    previous snapshot, LSH + verify run only on pairs touching the content
+    delta, and day-2 clusters are identical to a full recompute."""
+    _, _, df1, df2 = snap_dfs
+    io1 = TableIO(str(tmp_path / "e_day1"))
+    DedupPipeline(spark, io1, CFG).run(df1)
+    prev_sigs = io1.read(spark, DedupPipeline.T_SIG)
+    prev_edges = io1.read(spark, DedupPipeline.T_EDGES)
+    em = io1.manifest(DedupPipeline.T_EDGES)
+    assert em["metrics"]["edge_hash"] == CFG.edge_hash()
+
+    io_inc = TableIO(str(tmp_path / "e_day2_inc"))
+    out_inc = DedupPipeline(spark, io_inc, CFG).run(
+        df2,
+        prev_signatures=prev_sigs,
+        prev_signature_hash=CFG.signature_hash(),
+        prev_edges=prev_edges,
+        prev_edge_hash=CFG.edge_hash(),
+    )
+    io_full = TableIO(str(tmp_path / "e_day2_full"))
+    out_full = DedupPipeline(spark, io_full, CFG).run(df2)
+
+    def edge_set(io):
+        return {
+            (r["a_id"], r["b_id"], round(r["jaccard"], 12))
+            for r in io.read(spark, DedupPipeline.T_EDGES).collect()
+        }
+
+    assert edge_set(io_inc) == edge_set(io_full)
+
+    def clusters(df):
+        return {r["file_id"]: r["cluster_id"] for r in df.collect()}
+
+    assert clusters(out_inc) == clusters(out_full)
+    # observability: most edges carried, not recomputed (corpus_b clusters
+    # are size ~6 with ~10% touched content, so the carried share is large)
+    m = io_inc.manifest(DedupPipeline.T_EDGES)
+    assert m["metrics"]["carried_edges"] > 0
+    assert m["metrics"]["carried_edges"] <= len(edge_set(io_full))
+
+
+def test_edge_carry_forward_requires_matching_edge_hash(spark, snap_dfs, tmp_path):
+    """verify_threshold differs -> day-1 edges are NOT comparable; the API
+    must refuse even though the signature config matches."""
+    _, _, df1, df2 = snap_dfs
+    io1 = TableIO(str(tmp_path / "eh_day1"))
+    DedupPipeline(spark, io1, CFG).run(df1)
+    prev_sigs = io1.read(spark, DedupPipeline.T_SIG)
+    prev_edges = io1.read(spark, DedupPipeline.T_EDGES)
+    import dataclasses
+
+    looser = dataclasses.replace(CFG, verify_threshold=0.5)
+    pipe = DedupPipeline(spark, TableIO(str(tmp_path / "eh_day2")), looser)
+    with pytest.raises(ValueError, match="different edge config"):
+        pipe.run(
+            df2,
+            prev_signatures=prev_sigs,
+            prev_signature_hash=looser.signature_hash(),
+            prev_edges=prev_edges,
+            prev_edge_hash=CFG.edge_hash(),
+        )
+    # and prev_edges without prev_signatures is refused outright
+    with pytest.raises(ValueError, match="requires prev_signatures"):
+        DedupPipeline(spark, TableIO(str(tmp_path / "eh_day2b")), CFG).run(
+            df2, prev_edges=prev_edges, prev_edge_hash=CFG.edge_hash()
+        )
+
+
 def test_carry_forward_refuses_mismatched_signature_config(spark, snap_dfs, tmp_path):
     """ADVICE r4: the config-identity gate must live at the pipeline API
     boundary, not only in the dedup CLI — a programmatic caller passing a

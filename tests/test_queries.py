@@ -405,6 +405,42 @@ def test_embedding_ann_ivf_recall_on_clustered(spark, tmp_path):
     assert recall == 1.0, f"IVF recall {recall} < 1.0 on clustered corpus"
 
 
+def test_ann_operating_curve_monotone_and_consistent(spark, tmp_path):
+    """The IVF operating-curve card (q_ann_operating_curve): recall must be
+    non-decreasing in nprobe with BOTH endpoints meaningful (recall@nlist is
+    exactly 1.0 — probing every cell IS brute force), scan_frac must grow
+    with nprobe, and the curve's recall@IVF_NPROBE must equal the recall
+    measured directly from q_embedding_ann_ivf's output on the same corpus
+    (the card and the ANN must tell the same story)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(400):
+        v = centers[vid % 10] + 0.05 * rng.standard_normal(64)
+        rows.append((vid, [float(x) for x in v]))
+    p = str(tmp_path / "curve")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        f"{p}/embeddings.parquet"
+    )
+    curve = {r["nprobe"]: r for r in Q.q_ann_operating_curve(spark, p).collect()}
+    assert set(curve) == set(Q.ANN_CURVE_NPROBES)
+    recalls = [curve[n]["recall_at_5"] for n in sorted(curve)]
+    fracs = [curve[n]["scan_frac"] for n in sorted(curve)]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
+    assert all(a <= b for a, b in zip(fracs, fracs[1:])), fracs
+    assert curve[Q.IVF_CELLS]["recall_at_5"] == 1.0
+    assert abs(curve[Q.IVF_CELLS]["scan_frac"] - 1.0) < 0.01
+    assert all(r["n_true_pairs"] == 50 for r in curve.values())
+    # cross-pin vs the ANN's own output at the production operating point
+    truth = {(r["query_id"], r["neighbor_id"]) for r in Q.q_embedding_topk(spark, p).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in Q.q_embedding_ann_ivf(spark, p).collect()}
+    measured = round(len(got & truth) / len(truth), 4)
+    assert curve[Q.IVF_NPROBE]["recall_at_5"] == measured
+
+
 def test_embedding_ann_ivf_scores_exact_on_overlap(spark):
     """On the near-random driver corpus the candidate set shrinks to
     ~nprobe/nlist of the corpus; whatever IVF returns must carry EXACT

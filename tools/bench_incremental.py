@@ -95,9 +95,9 @@ def main():
         verify_threshold=0.8,
     )
 
-    def run(prev_sigs, tag):
+    def run(prev_sigs, prev_edges, tag):
         # warm once (sandbox first-touch page faults), then min-of-N
-        walls, sig_walls, fresh = [], [], None
+        walls, sig_walls, edge_walls, fresh, carried = [], [], [], None, None
         for rep in range(args.runs + 1):
             ckpt = f"/tmp/minhash_inc_{tag}_{os.getpid()}"
             shutil.rmtree(ckpt, ignore_errors=True)
@@ -106,30 +106,38 @@ def main():
                 day2,
                 prev_signatures=prev_sigs,
                 prev_signature_hash=None if prev_sigs is None else cfg.signature_hash(),
+                prev_edges=prev_edges,
+                prev_edge_hash=None if prev_edges is None else cfg.edge_hash(),
             ).count()
             wall = time.time() - t0
             io = TableIO(ckpt)
             m = io.manifest(DedupPipeline.T_SIG)
+            em = io.manifest(DedupPipeline.T_EDGES)
             if rep > 0:  # skip the warmup
                 walls.append(round(wall, 2))
                 sig_walls.append(m["wall_s"])
+                edge_walls.append(em["wall_s"])
                 fresh = m["metrics"].get("computed_fresh_contents")
+                carried = em["metrics"].get("carried_edges")
             shutil.rmtree(ckpt, ignore_errors=True)
         return {
             "wall_s": min(walls),
             "walls": walls,
             "sig_stage_wall_s": min(sig_walls),
+            "edges_stage_wall_s": min(edge_walls),
             "computed_fresh_contents": fresh,
+            "carried_edges": carried,
         }
 
-    # day-1 signatures once (the "yesterday checkpoint")
+    # day-1 signatures + edges once (the "yesterday checkpoint")
     prev_ckpt = f"/tmp/minhash_inc_day1_{os.getpid()}"
     shutil.rmtree(prev_ckpt, ignore_errors=True)
     DedupPipeline(spark, TableIO(prev_ckpt), cfg).run(day1).count()
     prev_sigs = TableIO(prev_ckpt).read(spark, DedupPipeline.T_SIG)
+    prev_edges = TableIO(prev_ckpt).read(spark, DedupPipeline.T_EDGES)
 
-    full = run(None, "full")
-    inc = run(prev_sigs, "inc")
+    full = run(None, None, "full")
+    inc = run(prev_sigs, prev_edges, "inc")
     shutil.rmtree(prev_ckpt, ignore_errors=True)
 
     out = {
@@ -142,6 +150,10 @@ def main():
         "speedup_signatures_stage": round(
             full["sig_stage_wall_s"] / inc["sig_stage_wall_s"], 2
         ),
+        "speedup_edges_stage": round(
+            full["edges_stage_wall_s"] / inc["edges_stage_wall_s"], 2
+        ),
+        "canary": bench.vm_canary(),
         "cpus": int(args.cpus),
     }
     with open(os.path.join(_ROOT, "BENCH", "incremental.json"), "w") as f:
