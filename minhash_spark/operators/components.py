@@ -89,11 +89,17 @@ def _driver_union_find(pdf) -> "object":
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 50, driver_threshold: int = 1_000_000
+    edges: DataFrame,
+    max_rounds: int = 50,
+    driver_threshold: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edge list (u, v) -> (node, component) with component = min node id.
 
     Includes every node that appears in an edge; callers union in singletons.
+    ``stats``, when passed, is filled in place with observability fields
+    ({path, n_edges, rounds}) — used by tools/bench_cc.py to record the
+    distributed path's rounds-to-convergence.
 
     Scale-adaptive (the CC analogue of AQE's broadcast decision): after the
     dedup pass the edge COUNT is known; at or below ``driver_threshold`` the
@@ -107,6 +113,9 @@ def connected_components(
     cur = edges.select(F.col("u"), F.col("v")).where(F.col("u") != F.col("v")).distinct()
     cur = cur.transform(barrier)
     n_edges = cur.count()
+    if stats is not None:
+        stats["n_edges"] = n_edges
+        stats["path"] = "driver" if n_edges <= driver_threshold else "distributed"
     if n_edges <= driver_threshold:
         spark = edges.sparkSession
         result = _driver_union_find(cur.toPandas())
@@ -117,7 +126,9 @@ def connected_components(
             )
         return spark.createDataFrame(result)
     prev, prev_fp = cur, None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        if stats is not None:
+            stats["rounds"] = rnd + 1
         cur = _small_star(_large_star(prev)).transform(barrier)
         fp = _edge_fingerprint(cur)
         # fingerprint equality is the FAST suspicion check; a (count,
