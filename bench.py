@@ -269,6 +269,9 @@ def main():
     timed("method_agreement_docs", lambda: Q.q_dedup_method_agreement(spark, sf_dir))
     timed("zipf_fit_docs", lambda: Q.q_zipf_fit(spark, sf_dir))
     timed("compression_scores_docs", lambda: Q.q_compression_scores(spark, sf_dir))
+    # round-5 additions — also excluded from the r3-comparable subtotal
+    timed("minhash_bitstrings_docs", lambda: Q.q_minhash_bitstrings(spark, sf_dir))
+    timed("ann_operating_curve", lambda: Q.q_ann_operating_curve(spark, sf_dir))
 
     # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
     # reported min), so the comparable "first-run" total keeps the pipeline
@@ -281,21 +284,23 @@ def main():
         2,
     )
     total_min = round(sum(t["min"] for t in timings.values()), 2)
-    # like-for-like round comparison: the suite GREW in round 4 (13 new
-    # queries, X50-X64), so the headline total is not comparable to BENCH_r03
-    # — this subtotal restricts to the round-3 query set
-    r4_new = {
+    # like-for-like round comparison: the suite GREW in rounds 4-5 (15 new
+    # queries), so the headline total is not comparable to BENCH_r03 — this
+    # subtotal restricts to the round-3 query set
+    post_r3 = {
         "shard_manifest_docs", "dedup_rewrite_docs", "word_entropy_docs",
         "threshold_sweep_docs", "quality_weighted_docs", "length_histogram_docs",
         "dedup_growth_curve_docs", "approx_profile_docs", "repeated_substring_docs",
         "cluster_assign_docs", "method_agreement_docs", "zipf_fit_docs",
         "compression_scores_docs",
+        # round-5 additions
+        "minhash_bitstrings_docs", "ann_operating_curve",
     }
     total_first_r3cmp = round(
         sum(
             t["min"] if name == "dedup_pipeline_planted" else t["runs"][0]
             for name, t in timings.items()
-            if name not in r4_new
+            if name not in post_r3
         ),
         2,
     )
