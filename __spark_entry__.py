@@ -20,6 +20,7 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 from pyspark.sql import DataFrame, SparkSession
 
+from minhash_spark.operators import media as _media
 from minhash_spark.plans import queries as Q
 
 SF0001 = "/root/testdata/sf0.001"
@@ -82,8 +83,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_summary": Q.q_dedup_summary,
         "dedup_skew_report": Q.q_dedup_skew_report,
         "cluster_assign": Q.q_cluster_assign,
-        "dedup_method_agreement": Q.q_dedup_method_agreement,
-        "zipf_fit": Q.q_zipf_fit,
         "similar_docs_topk": Q.q_similar_docs_topk,
         "embedding_topk": Q.q_embedding_topk,
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
@@ -92,15 +91,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
         "source_rollup": Q.q_source_rollup,
         "vocab": Q.q_vocab,
-        "pii_scan": Q.q_pii_scan,
         # ---- (a) round-5 additions (never driver-checked) -----------------
         # bit_string:true surface parity (rows-only: murmur bytes)
         "minhash_bitstrings": Q.q_minhash_bitstrings,
         # IVF recall-vs-scan-cost calibration card (rows-only: IVF cells)
         "ann_operating_curve": Q.q_ann_operating_curve,
+        # perceptual image near-dup over REAL decoded BMP pixels (X67)
+        "image_phash_dedup": Q.q_image_phash_dedup,
+        # GPT-style concat-and-chunk packing via two-phase prefix sum (X68)
+        "sequence_packing": Q.q_sequence_packing,
+        # temperature-smoothed training-mixture weights card (X69)
+        "mixture_weights": Q.q_mixture_weights,
         # ---- driver window boundary (first 50 dict entries) ---------------
-        # r4-green entries below rotate back into the window next round;
-        # until then tools/check_oracles.py + pytest keep them covered.
+        # r4-green entries below rotate back into the window next round
+        # (incl. pii_scan / dedup_method_agreement / zipf_fit, displaced by
+        # the X67-X69 additions); until then tools/check_oracles.py + pytest
+        # keep them covered.
+        "pii_scan": Q.q_pii_scan,
+        "dedup_method_agreement": Q.q_dedup_method_agreement,
+        "zipf_fit": Q.q_zipf_fit,
         "minhash_signatures_oph": Q.q_minhash_signatures_oph,
         "minhash_collapse": Q.q_minhash_collapse,
         "multi_signatures": Q.q_multi_signatures,
@@ -1308,5 +1317,107 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN sz sa ON sa.source = sh.a_source
             JOIN sz sb ON sb.source = sh.b_source
+        """,
+        # X67 perceptual image near-dup: the oracle recomputes the dHash
+        # ANALYTICALLY from the planted image's closed form (media.py:
+        # synth_phash_image / dhash64 — R=G=B=v so luma (R+2G+B)//4 == v;
+        # sample grid row (y*H)//8, col (x*W)//9; bit y*8+x set iff the
+        # right sample exceeds the left) and brute-forces ALL pairs at
+        # hamming <= 3 — so it checks BOTH the real BMP decode path and the
+        # pigeonhole band join's guaranteed recall. Hash accumulates in
+        # HUGEINT (bit 63 overflows BIGINT shifts) then casts to UBIGINT
+        # for xor/bit_count/hex.
+        "image_phash_dedup": f"""
+            WITH p AS (
+              SELECT doc_id, doc_id % {_media.PHASH_GROUPS} AS g,
+                     16 + (doc_id % {_media.PHASH_GROUPS}) % 17 AS w,
+                     8 + (doc_id % {_media.PHASH_GROUPS}) % 13 AS h
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, g, w,
+                     ys.y * 8 + xs.x AS idx,
+                     (ys.y * h) // 8 AS r,
+                     (xs.x * w) // 9 AS c1,
+                     ((xs.x + 1) * w) // 9 AS c2
+              FROM p, range(8) ys(y), range(8) xs(x)
+            ), bits AS (
+              SELECT doc_id, idx,
+                     (( (17*g + (3 + 5*g)*r + (2 + 3*g)*c1) % 256
+                        + 200 * ((r*w + c1 + doc_id) % 97 = 0)::INT ) % 256
+                      <
+                      ( (17*g + (3 + 5*g)*r + (2 + 3*g)*c2) % 256
+                        + 200 * ((r*w + c2 + doc_id) % 97 = 0)::INT ) % 256
+                     )::INT AS bit
+              FROM pos
+            ), hashes AS (
+              SELECT doc_id,
+                     SUM(bit * (1::HUGEINT << idx))::UBIGINT AS hu
+              FROM bits GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     bit_count(xor(a.hu, b.hu))::BIGINT AS ham
+              FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.hu, b.hu)) <= {_media.PHASH_HAM_MAX}
+            ), sym AS (
+              SELECT da AS doc_id, ham FROM pairs
+              UNION ALL SELECT db, ham FROM pairs
+            ), agg AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_near,
+                     MIN(ham)::BIGINT AS min_ham
+              FROM sym GROUP BY doc_id
+            )
+            SELECT h.doc_id,
+                   lpad(lower(hex(h.hu)), 16, '0') AS phash_hex,
+                   COALESCE(a.n_near, 0)::BIGINT AS n_near,
+                   a.min_ham
+            FROM hashes h LEFT JOIN agg a USING (doc_id)
+            ORDER BY h.doc_id
+        """,
+        # X68 sequence packing: the oracle is the NAIVE global window cumsum
+        # the two-phase distributed prefix sum must reproduce exactly —
+        # bucket-boundary bookkeeping errors show up as value mismatches.
+        "sequence_packing": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                       AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     (SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens)::BIGINT AS tok_start
+              FROM t
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   (tok_start // {Q.SEQ_BUDGET})::BIGINT AS seq_first,
+                   ((tok_start + n_tokens - 1) // {Q.SEQ_BUDGET})::BIGINT
+                     AS seq_last,
+                   ((tok_start + n_tokens - 1) // {Q.SEQ_BUDGET}
+                    - tok_start // {Q.SEQ_BUDGET} + 1)::BIGINT AS n_seqs
+            FROM c ORDER BY doc_id
+        """,
+        # X69 mixture weights: integer aggregates are exact; sqrt is IEEE-
+        # correctly-rounded on both engines; the cross-source sqrt sum's
+        # order noise (~1e-15 rel) is smothered by 6/4 dp rounding (same
+        # argument as zipf_fit). Expression order mirrors the Spark plan.
+        "mixture_weights": f"""
+            WITH per AS (
+              SELECT source, COUNT(*)::BIGINT AS n_docs,
+                     SUM(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                       AS n_tokens
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT SUM(n_tokens)::BIGINT AS tot_tokens,
+                     SUM(sqrt(n_tokens::DOUBLE))::DOUBLE AS tot_w
+              FROM per
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(n_tokens::DOUBLE / tot_tokens, 6) AS token_share,
+                   round(sqrt(n_tokens::DOUBLE) / tot_w, 6) AS weight,
+                   round(sqrt(n_tokens::DOUBLE) / tot_w
+                         * {float(Q.MIX_TARGET_TOKENS)} / n_tokens, 4)
+                     AS epochs_at_10m
+            FROM per, tot ORDER BY source
         """,
     }

@@ -272,6 +272,9 @@ def main():
     # round-5 additions — also excluded from the r3-comparable subtotal
     timed("minhash_bitstrings_docs", lambda: Q.q_minhash_bitstrings(spark, sf_dir))
     timed("ann_operating_curve", lambda: Q.q_ann_operating_curve(spark, sf_dir))
+    timed("image_phash_dedup_docs", lambda: Q.q_image_phash_dedup(spark, sf_dir))
+    timed("sequence_packing_docs", lambda: Q.q_sequence_packing(spark, sf_dir))
+    timed("mixture_weights_docs", lambda: Q.q_mixture_weights(spark, sf_dir))
 
     # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
     # reported min), so the comparable "first-run" total keeps the pipeline
@@ -284,7 +287,7 @@ def main():
         2,
     )
     total_min = round(sum(t["min"] for t in timings.values()), 2)
-    # like-for-like round comparison: the suite GREW in rounds 4-5 (15 new
+    # like-for-like round comparison: the suite GREW in rounds 4-5 (18 new
     # queries), so the headline total is not comparable to BENCH_r03 — this
     # subtotal restricts to the round-3 query set
     post_r3 = {
@@ -295,6 +298,7 @@ def main():
         "compression_scores_docs",
         # round-5 additions
         "minhash_bitstrings_docs", "ann_operating_curve",
+        "image_phash_dedup_docs", "sequence_packing_docs", "mixture_weights_docs",
     }
     total_first_r3cmp = round(
         sum(

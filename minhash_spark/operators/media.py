@@ -198,6 +198,57 @@ def synth_audio(doc_id: int) -> np.ndarray:
     return (((37 * doc_id + t * t) % 4096) - 2048).astype(np.int16)
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + planted near-dup fixture
+# ---------------------------------------------------------------------------
+
+PHASH_GROUPS = 23  # planted perceptual-dup groups: doc_id % PHASH_GROUPS
+PHASH_HAM_MAX = 3  # 4 x 16-bit bands give GUARANTEED recall at hamming <= 3
+
+
+def phash_dims(group: int) -> tuple[int, int]:
+    """(W, H) for a perceptual-hash fixture group — W in 16..32 so the BMP
+    row stride (4-byte padding) varies across groups."""
+    return 16 + group % 17, 8 + group % 13
+
+
+def synth_phash_image(doc_id: int) -> np.ndarray:
+    """Grayscale-as-RGB gradient image whose base pattern depends only on
+    ``doc_id % PHASH_GROUPS``; a sparse per-doc perturbation (every 97th
+    pixel in scan order, offset by doc_id, bumped by +200 mod 256) flips at
+    most a few dHash bits, so same-group docs are perceptual near-dups and
+    cross-group docs are far apart. Closed-form (mirrored by the DuckDB
+    oracle in __spark_entry__.py — keep the formulas in sync!)."""
+    g = doc_id % PHASH_GROUPS
+    w, h = phash_dims(g)
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    v = (17 * g + (3 + 5 * g) * r + (2 + 3 * g) * c) % 256
+    v = (v + 200 * ((r * w + c + doc_id) % 97 == 0)) % 256
+    return np.repeat(v[:, :, None].astype(np.uint8), 3, axis=-1)
+
+
+def dhash64(rgb: np.ndarray) -> int:
+    """Point-sampled 9x8 difference hash over integer luma ((R+2G+B)//4).
+
+    Classic dHash resizes to 9x8 then compares horizontally adjacent
+    pixels; this variant samples the 9x8 grid at (row (y*H)//8, col
+    (x*W)//9) with nearest-neighbor (no box filter), which keeps the hash
+    resize-invariant across image sizes AND analytically computable by the
+    DuckDB oracle. Bit (y*8 + x) is set iff sample[y][x+1] > sample[y][x].
+    Returns the 64-bit hash as a SIGNED two's-complement int (Spark
+    LongType carries it; hex rendering is unsigned)."""
+    h, w, _ = rgb.shape
+    px = rgb.astype(np.int64)
+    gray = (px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]) // 4
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g = gray[np.ix_(ys, xs)]  # 8 x 9 samples
+    bits = (g[:, 1:] > g[:, :-1]).ravel().astype(np.uint64)  # idx = y*8 + x
+    val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def video_dims(doc_id: int) -> tuple[int, int, int]:
     """(n_frames, W, H)."""
     return 4 + doc_id % 5, 8 + doc_id % 9, 4 + doc_id % 7

@@ -2902,3 +2902,235 @@ def q_compression_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(score, schema)
+
+
+# ---------------------------------------------------------------------------
+# X67: perceptual image near-dup (dHash + pigeonhole band join)
+# ---------------------------------------------------------------------------
+
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67: perceptual image near-duplicate card — dHash over REAL decoded
+    pixels (the round-5 BMP codec), matched with a pigeonhole multi-index
+    band join. Each doc carries a deterministic planted BMP (same-group docs
+    are near-identical up to a sparse perturbation, cross-group far apart);
+    the query decodes the container bytes, point-samples a 9x8 luma grid into
+    a 64-bit difference hash, and reports per doc how many corpus images sit
+    within hamming distance 3 plus the nearest distance found.
+
+    Recall is STRUCTURAL, not probabilistic: the 64-bit hash splits into four
+    16-bit bands, and any pair within hamming <= 3 differs in at most 3 bands
+    (pigeonhole), so at least one band collides — the band equi-join finds
+    every qualifying pair, then F.bit_count(xor) filters exactly. The DuckDB
+    oracle recomputes the hash ANALYTICALLY from the synth closed form and
+    brute-forces all pairs, so a decode bug (stride/flip) OR a missed pair
+    both diverge at the value hash.
+
+    Scale shape (100 TB): hashing is one mapInPandas scan, no shuffle; the
+    join runs over DISTINCT hashes only (exact perceptual dups collapse
+    first — groupBy(phash) — so a billion copies of one meme cost one join
+    row), then neighbor MASS is aggregated at hash granularity and joined
+    back; no doc-level pair table is ever materialized. Band-key skew on
+    degenerate corpora would reuse the star-cap treatment in operators/lsh.py."""
+    from minhash_spark.operators import media
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def hash_batches(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            hashes = [
+                media.dhash64(
+                    media.decode_bmp(media.encode_bmp(media.synth_phash_image(int(d))))[2]
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash": pd.array(hashes, dtype="int64")}
+            )
+
+    hashes = docs.mapInPandas(hash_batches, "doc_id long, phash long")
+    hashes = verify.barrier(hashes)  # hash once; reused by both join sides
+
+    hstats = hashes.groupBy("phash").agg(F.count("*").alias("n_docs"))
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("b"),
+                    F.shiftrightunsigned("phash", 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("v"),
+                )
+                for i in range(4)
+            ]
+        )
+    ).alias("band")
+    bands = hstats.select("phash", "n_docs", band).select(
+        "phash", "n_docs", F.col("band.b").alias("b"), F.col("band.v").alias("v")
+    )
+    a, b2 = bands.alias("a"), bands.alias("b2")
+    cand = (
+        a.join(b2, (F.col("a.b") == F.col("b2.b")) & (F.col("a.v") == F.col("b2.v")))
+        .where(F.col("a.phash") < F.col("b2.phash"))
+        .select(
+            F.col("a.phash").alias("ph_a"),
+            F.col("a.n_docs").alias("na"),
+            F.col("b2.phash").alias("ph_b"),
+            F.col("b2.n_docs").alias("nb"),
+        )
+        .dropDuplicates(["ph_a", "ph_b"])  # a pair may collide in >1 band
+    )
+    pairs = cand.withColumn(
+        "ham",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long"),
+    ).where(F.col("ham") <= media.PHASH_HAM_MAX)
+    sym = pairs.select(
+        F.col("ph_a").alias("phash"), F.col("nb").alias("other_n"), "ham"
+    ).unionByName(
+        pairs.select(F.col("ph_b").alias("phash"), F.col("na").alias("other_n"), "ham")
+    )
+    nbr = sym.groupBy("phash").agg(
+        F.sum("other_n").alias("nbr_mass"), F.min("ham").alias("nbr_min")
+    )
+    enriched = hstats.join(nbr, "phash", "left")
+    return (
+        hashes.join(enriched, "phash")
+        .select(
+            "doc_id",
+            F.lpad(F.lower(F.hex("phash")), 16, "0").alias("phash_hex"),
+            (F.col("n_docs") - 1 + F.coalesce(F.col("nbr_mass"), F.lit(0)))
+            .cast("long")
+            .alias("n_near"),
+            F.when(F.col("n_docs") > 1, F.lit(0).cast("long"))
+            .otherwise(F.col("nbr_min"))
+            .alias("min_ham"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X68: GPT-style sequence packing (concat-and-chunk) via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+PACK_BUCKET_BITS = 10  # prefix-sum bucket = doc_id >> 10 (1024 docs/bucket)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68: concat-and-chunk sequence packing plan — the map from documents
+    to fixed-budget training sequences when the corpus is tokenized,
+    concatenated in doc_id order, and chunked every SEQ_BUDGET tokens (the
+    standard GPT-style pretraining layout). Emits per doc its global token
+    offset and the [seq_first, seq_last] range of sequences it lands in —
+    exactly what a shard writer needs to materialize packed examples.
+
+    A global ordered cumsum is a single-task window in naive Spark; this
+    runs the classic TWO-PHASE distributed prefix sum instead: (1) bucket
+    docs by doc_id >> 10 (order-preserving ranges), aggregate per-bucket
+    token sums — a tiny table (1M buckets per 10^9 docs) collected to the
+    driver for an exclusive prefix scan, broadcast-joined back; (2) a
+    partitionBy(bucket) window adds the intra-bucket cumsum. Every stage is
+    parallel in the bucket count; no single-task window, no global sort.
+    The DuckDB oracle is the plain global window cumsum — the two-phase
+    decomposition must agree with it exactly, which also pins bucket-
+    boundary bookkeeping (pytest additionally pins bucket-size invariance).
+
+    Tokenization matches q_token_counts' whitespace tokens (trim + split),
+    so n_tokens >= 1 for every doc (empty text splits to [''])."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    b = docs.withColumn(
+        "bucket", F.shiftrightunsigned("doc_id", PACK_BUCKET_BITS)
+    )
+    bucket_sums = (
+        b.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens")).collect()
+    )
+    offsets, acc = [], 0
+    for row in sorted(bucket_sums, key=lambda r: r["bucket"]):
+        offsets.append((row["bucket"], acc))
+        acc += row["bucket_tokens"]
+    off_df = spark.createDataFrame(offsets, "bucket long, bucket_offset long")
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("bucket_offset") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = (
+        b.join(F.broadcast(off_df), "bucket")
+        .withColumn("tok_start", start.cast("long"))
+        .withColumn("seq_first", F.expr(f"tok_start DIV {SEQ_BUDGET}"))
+        .withColumn(
+            "seq_last", F.expr(f"(tok_start + n_tokens - 1) DIV {SEQ_BUDGET}")
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        "seq_first",
+        "seq_last",
+        (F.col("seq_last") - F.col("seq_first") + 1).cast("long").alias("n_seqs"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X69: domain mixture weights (temperature-smoothed source sampling)
+# ---------------------------------------------------------------------------
+
+MIX_TARGET_TOKENS = 10_000_000  # epochs_at_10m = sampled tokens per source
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69: training-mixture data card — per-source sampling weights under
+    temperature smoothing (alpha = 0.5, i.e. w_s proportional to sqrt of the
+    source's token mass), the standard move (GPT-3/Pile/XLM-R style) that
+    up-samples small high-quality sources relative to raw token share.
+    Emits per source: doc/token counts, raw token share, smoothed sampling
+    weight, and epochs over the source at a 10M-token training budget —
+    epochs > 1 flags sources the schedule would repeat.
+
+    Scale shape: one partial-aggregable groupBy over (source, n_tokens) —
+    map-side combine does almost all the work; the totals row is a 1-row
+    broadcast cross join. Float discipline: sqrt is IEEE-correctly-rounded
+    on both engines and shares are single divisions of exact integer
+    aggregates, so the only nondeterminism is summation ORDER of the ~5
+    per-source sqrt terms (~1e-15 relative) — smothered by 6 dp rounding
+    (same argument as zipf_fit's pinned 6 dp)."""
+    per = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("toks"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("n_tokens"))
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("tot_w"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("token_share"),
+            F.round(F.sqrt(F.col("n_tokens")) / F.col("tot_w"), 6).alias("weight"),
+            F.round(
+                F.sqrt(F.col("n_tokens"))
+                / F.col("tot_w")
+                * F.lit(float(MIX_TARGET_TOKENS))
+                / F.col("n_tokens"),
+                4,
+            ).alias("epochs_at_10m"),
+        )
+        .orderBy("source")
+    )

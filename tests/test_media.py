@@ -105,3 +105,87 @@ def test_bmp_rejects_compressed():
     struct.pack_into("<I", blob, 30, 1)  # BI_RLE8
     with pytest.raises(ValueError, match="unsupported BMP variant"):
         media.decode_bmp(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# dHash (X67 perceptual image near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _dhash_brute(rgb):
+    """Independent scalar re-implementation of media.dhash64 (double loop)."""
+    h, w, _ = rgb.shape
+    val = 0
+    for y in range(8):
+        for x in range(8):
+            r = (y * h) // 8
+            c1 = (x * w) // 9
+            c2 = ((x + 1) * w) // 9
+
+            def luma(rr, cc):
+                px = rgb[rr, cc].astype(np.int64)
+                return (int(px[0]) + 2 * int(px[1]) + int(px[2])) // 4
+
+            if luma(r, c2) > luma(r, c1):
+                val |= 1 << (y * 8 + x)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 22, 23, 97, 511, 4099])
+def test_dhash64_matches_scalar_reference(doc_id):
+    img = media.synth_phash_image(doc_id)
+    assert media.dhash64(img) == _dhash_brute(img)
+
+
+def test_dhash64_signed_two_complement_hex_round_trip():
+    # an all-bright-right gradient sets the top bit -> negative signed long;
+    # the unsigned hex rendering must round-trip the same 64 bits
+    img = np.zeros((8, 9, 3), dtype=np.uint8)
+    img[:, :, :] = (np.arange(9, dtype=np.uint8) * 20)[None, :, None]
+    v = media.dhash64(img)
+    assert v == -1  # every comparison right > left -> all 64 bits set
+    assert f"{v & ((1 << 64) - 1):016x}" == "f" * 16
+
+
+def test_dhash64_same_group_docs_collide_or_nearly(doc_id_pairs=None):
+    """Planted structure: unperturbed same-group docs would hash equal; the
+    sparse perturbation keeps intra-group hamming small (<= 2 flips per
+    sampled hit), while cross-group hashes are far apart on average."""
+    G = media.PHASH_GROUPS
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    intra = [
+        ham(media.dhash64(media.synth_phash_image(d)),
+            media.dhash64(media.synth_phash_image(d + 5 * G)))
+        for d in range(G)
+    ]
+    cross = [
+        ham(media.dhash64(media.synth_phash_image(g)),
+            media.dhash64(media.synth_phash_image(g + 1)))
+        for g in range(G - 1)
+    ]
+    assert max(intra) <= 4  # <=2 sampled perturbation hits x <=2 flips each
+    assert sum(cross) / len(cross) > 10  # different gradients differ widely
+
+
+def test_dhash_pigeonhole_band_guarantee():
+    """The band join's recall proof: ANY pair within hamming <= 3 shares at
+    least one unchanged 16-bit band. Exhaustive over all 1-3 bit flips of a
+    fixed hash restricted to representative positions per band."""
+    base = media.dhash64(media.synth_phash_image(7)) & ((1 << 64) - 1)
+
+    def bands(v):
+        return [(v >> (16 * i)) & 0xFFFF for i in range(4)]
+
+    import itertools
+
+    positions = [0, 15, 16, 31, 32, 47, 48, 63]
+    for k in (1, 2, 3):
+        for flips in itertools.combinations(positions, k):
+            other = base
+            for p in flips:
+                other ^= 1 << p
+            shared = [i for i in range(4) if bands(base)[i] == bands(other)[i]]
+            assert shared, f"no shared band for flips {flips}"

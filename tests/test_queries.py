@@ -1125,3 +1125,82 @@ def test_compression_scores_exact_vs_zlib(spark):
         assert r["n_compressed"] == len(zlib.compress(b, 6))
         if len(b):
             assert r["compression_ratio"] == round(r["n_compressed"] / len(b), 4)
+
+
+def test_image_phash_dedup_group_structure(spark):
+    """X67: every doc's neighbor set should be (a subset of) its planted
+    group — cross-group gradients differ in >3 dHash bits except measure-
+    zero coincidences, and same-group docs differ only by the sparse
+    perturbation. Pin: n_near > 0 for the overwhelming majority (group
+    size ~22 at sf0.001), min_ham == 0 exactly for docs sharing a hash,
+    and the phash_hex column round-trips to the kernel's dhash64."""
+    from minhash_spark.operators import media
+
+    rows = {r["doc_id"]: r for r in Q.q_image_phash_dedup(spark, SF).collect()}
+    assert len(rows) == 500
+    # hex column matches an independently computed hash for a sample
+    for did in (0, 1, 23, 137, 499):
+        expect = media.dhash64(media.synth_phash_image(did)) & ((1 << 64) - 1)
+        assert rows[did]["phash_hex"] == f"{expect:016x}"
+    with_near = sum(1 for r in rows.values() if r["n_near"] > 0)
+    assert with_near >= 450  # planted groups of ~22 docs make isolation rare
+    # min_ham semantics: 0 iff another doc shares the exact hash
+    from collections import Counter
+
+    hashes = Counter(r["phash_hex"] for r in rows.values())
+    for r in rows.values():
+        if hashes[r["phash_hex"]] > 1:
+            assert r["min_ham"] == 0
+        elif r["min_ham"] is not None:
+            assert 1 <= r["min_ham"] <= media.PHASH_HAM_MAX
+
+
+def test_sequence_packing_bucket_size_invariance(spark, monkeypatch):
+    """X68: the two-phase prefix sum must be independent of the bucket
+    granularity — run with 1024-doc buckets and 32-doc buckets and demand
+    identical rows; then pin against a local pandas cumsum."""
+    base = Q.q_sequence_packing(spark, SF).toPandas()
+    monkeypatch.setattr(Q, "PACK_BUCKET_BITS", 5)
+    small = Q.q_sequence_packing(spark, SF).toPandas()
+    assert base.equals(small)
+    # local ground truth
+    import pandas as pd
+
+    t = base.sort_values("doc_id").reset_index(drop=True)
+    starts = t["n_tokens"].cumsum().shift(fill_value=0)
+    assert (t["tok_start"].to_numpy() == starts.to_numpy()).all()
+    assert (t["seq_first"] == t["tok_start"] // Q.SEQ_BUDGET).all()
+    assert (
+        t["seq_last"] == (t["tok_start"] + t["n_tokens"] - 1) // Q.SEQ_BUDGET
+    ).all()
+    # chunking conserves tokens: total sequences cover the whole stream
+    total = int(t["n_tokens"].sum())
+    assert int(t["seq_last"].max()) == (total - 1) // Q.SEQ_BUDGET
+
+
+def test_mixture_weights_matches_numpy(spark):
+    """X69: weights/shares/epochs recomputed with numpy from the raw table."""
+    import numpy as np
+    import re
+
+    pdf = Q.q_mixture_weights(spark, SF).toPandas().set_index("source")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("source", "text").toPandas()
+    docs["toks"] = docs["text"].map(lambda t: len(re.split(r"\s+", t.strip())))
+    g = docs.groupby("source")["toks"].agg(["count", "sum"])
+    tot_tokens = g["sum"].sum()
+    tot_w = np.sqrt(g["sum"].to_numpy(dtype="float64")).sum()
+    assert set(pdf.index) == set(g.index)
+    for s in g.index:
+        n = int(g.loc[s, "sum"])
+        assert pdf.loc[s, "n_docs"] == g.loc[s, "count"]
+        assert pdf.loc[s, "n_tokens"] == n
+        assert abs(pdf.loc[s, "token_share"] - n / tot_tokens) < 2e-6
+        w = np.sqrt(float(n)) / tot_w
+        assert abs(pdf.loc[s, "weight"] - w) < 2e-6
+        assert abs(pdf.loc[s, "epochs_at_10m"] - w * 1e7 / n) < 2e-4
+    # weights sum to ~1 and up-sample small sources vs raw share
+    assert abs(pdf["weight"].sum() - 1.0) < 1e-4
+    smallest = g["sum"].idxmin()
+    largest = g["sum"].idxmax()
+    assert pdf.loc[smallest, "weight"] > pdf.loc[smallest, "token_share"]
+    assert pdf.loc[largest, "weight"] < pdf.loc[largest, "token_share"]
