@@ -58,6 +58,11 @@ AUDITED = [
     "approx_corpus_profile",
     "repeated_substring_scores",
     "multimodal_frames",
+    # round-5 additions: the two-phase prefix sum must show a broadcast
+    # offsets join (no single-task global window); the mixture card must be
+    # one partial agg + 1-row broadcast cross join
+    "sequence_packing",
+    "mixture_weights",
 ]
 
 # Queries whose steady-state plan is a lineage-truncated Scan ExistingRDD
@@ -72,6 +77,9 @@ BUILD_AUDITED = [
     "fingerprint_matches",
     "near_dup_threshold_sweep",
     "containment_dup_pairs",
+    # X67: barrier sits on the per-doc hash table; build mode keeps the
+    # mapInPandas -> distinct-hash agg -> band self-join DAG visible
+    "image_phash_dedup",
 ]
 
 CHECKS = {
