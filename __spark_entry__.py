@@ -90,7 +90,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
         "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
         "source_rollup": Q.q_source_rollup,
-        "vocab": Q.q_vocab,
         # ---- (a) round-5 additions (never driver-checked) -----------------
         # bit_string:true surface parity (rows-only: murmur bytes)
         "minhash_bitstrings": Q.q_minhash_bitstrings,
@@ -102,11 +101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": Q.q_sequence_packing,
         # temperature-smoothed training-mixture weights card (X69)
         "mixture_weights": Q.q_mixture_weights,
+        # bloom-prefiltered decontamination, oracle shared with X18 (X70)
+        "decontaminate_bloom": Q.q_decontaminate_bloom,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # r4-green entries below rotate back into the window next round
-        # (incl. pii_scan / dedup_method_agreement / zipf_fit, displaced by
-        # the X67-X69 additions); until then tools/check_oracles.py + pytest
-        # keep them covered.
+        # (incl. vocab / pii_scan / dedup_method_agreement / zipf_fit,
+        # displaced by the X67-X70 additions); until then
+        # tools/check_oracles.py + pytest keep them covered.
+        "vocab": Q.q_vocab,
         "pii_scan": Q.q_pii_scan,
         "dedup_method_agreement": Q.q_dedup_method_agreement,
         "zipf_fit": Q.q_zipf_fit,
@@ -1004,6 +1006,17 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN df USING (span) GROUP BY s.doc_id
         """,
         "decontaminate": f"""
+            WITH s AS ({_DOC_SPANS_SQL})
+            SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+                   count(*)::BIGINT AS n_shared_spans
+            FROM s tr JOIN s ev USING (span)
+            WHERE tr.doc_id >= 20 AND ev.doc_id < 20
+            GROUP BY 1, 2
+        """,
+        # X70: bloom prefilter + exact join == exact join (no false
+        # negatives), so the oracle is IDENTICAL to X18's — the driver gate
+        # proves the bloom path drops nothing on every run.
+        "decontaminate_bloom": f"""
             WITH s AS ({_DOC_SPANS_SQL})
             SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
                    count(*)::BIGINT AS n_shared_spans

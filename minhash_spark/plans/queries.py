@@ -3134,3 +3134,57 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X70: Bloom-prefiltered decontamination (the >RAM benchmark-set path)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70: eval-set decontamination with a broadcast BLOOM BITMAP prefilter
+    — same answer as q_decontaminate (X18), different scale envelope. The
+    exact-broadcast path ships every eval span to every executor: right for
+    ~10^5 spans, impossible for a 10^9-span benchmark suite (tens of GB).
+    Here the eval spans fold into an m-bit Bloom filter built distributedly
+    (per-partition bitmaps OR-reduced on the driver), the training corpus
+    probes the broadcast bitmap map-side (vectorized uint64 double-hashing
+    over two JVM-computed xxhash64 columns — Python never touches span
+    strings), and only the ~fpp tail plus true matches reach the exact
+    span join. No false negatives => prefilter + exact join == exact join,
+    so the DuckDB oracle is IDENTICAL to X18's — the driver gate proves the
+    equivalence on every run.
+
+    Sizing here mirrors production ratios: m = 16 bits/key (rounded up to a
+    power of two so mod is a mask), k = ln2 * m/n probes — fpp ~ 5e-4. At
+    10^9 keys that is a 2 GB bitmap vs a ~60 GB exact hash set; survivors
+    shuffle into the final join at ~0.05% of corpus span volume plus true
+    contamination."""
+    import math
+
+    from minhash_spark.operators import bloom
+
+    docs = load(spark, sf_dir, "documents")
+    spans = _doc_spans(docs, BOILERPLATE_N)
+    ev = spans.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("eval_id"), "span"
+    )
+    tr = spans.where(F.col("doc_id") >= 20).select(
+        F.col("doc_id").alias("train_id"), "span"
+    )
+    ev_h = bloom.with_key_hashes(ev, "span")
+    n_keys = ev_h.count()  # build side is the small side; one cheap action
+    m_bits = 1 << max(10, math.ceil(math.log2(max(1, 16 * n_keys))))
+    k = min(16, bloom.optimal_k(m_bits, n_keys))
+    bitmap = bloom.build_bitmap(ev_h, m_bits, k)
+    survivors = bloom.probe_filter(
+        bloom.with_key_hashes(tr, "span"), spark, bitmap, k, m_bits
+    ).drop("h1", "h2")
+    # exact join removes bloom false positives; deliberately NOT broadcast —
+    # at the target scale the eval side doesn't fit, and the survivors side
+    # has already been cut ~2000x, so a shuffle join on span is the plan
+    # (AQE upgrades it to broadcast at sandbox scale, which is also right)
+    return (
+        survivors.join(ev, "span")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared_spans"))
+    )
