@@ -3014,7 +3014,14 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEQ_BUDGET = 512  # tokens per packed training sequence
-PACK_BUCKET_BITS = 10  # prefix-sum bucket = doc_id >> 10 (1024 docs/bucket)
+PACK_BUCKET_BITS = 10  # minimum bucket shift (1024 docs/bucket)
+
+
+def pack_bucket_bits(max_id: int) -> int:
+    """Bucket shift for the two-phase prefix sum: wide enough that the
+    driver-collected bucket-sum table never exceeds 2^16 rows, never
+    narrower than PACK_BUCKET_BITS."""
+    return max(PACK_BUCKET_BITS, int(max_id + 1).bit_length() - 16)
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3027,11 +3034,14 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A global ordered cumsum is a single-task window in naive Spark; this
     runs the classic TWO-PHASE distributed prefix sum instead: (1) bucket
-    docs by doc_id >> 10 (order-preserving ranges), aggregate per-bucket
-    token sums — a tiny table (1M buckets per 10^9 docs) collected to the
-    driver for an exclusive prefix scan, broadcast-joined back; (2) a
-    partitionBy(bucket) window adds the intra-bucket cumsum. Every stage is
-    parallel in the bucket count; no single-task window, no global sort.
+    docs by an order-preserving doc_id range shift, aggregate per-bucket
+    token sums, collect that table to the driver for an exclusive prefix
+    scan, broadcast-join the offsets back; (2) a partitionBy(bucket) window
+    adds the intra-bucket cumsum. Every stage is parallel in the bucket
+    count; no single-task window, no global sort. The driver collect is
+    HARD-BOUNDED: the shift adapts to max(doc_id) so the bucket table never
+    exceeds 2^16 rows — at 10^12 docs each bucket spans ~2^24 ids and the
+    collect is still ~1 MB (same driver-cap discipline as IVF_TRAIN_CAP).
     The DuckDB oracle is the plain global window cumsum — the two-phase
     decomposition must agree with it exactly, which also pins bucket-
     boundary bookkeeping (pytest additionally pins bucket-size invariance).
@@ -3042,8 +3052,9 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
     )
+    max_id = docs.agg(F.max("doc_id")).first()[0] or 0
     b = docs.withColumn(
-        "bucket", F.shiftrightunsigned("doc_id", PACK_BUCKET_BITS)
+        "bucket", F.shiftrightunsigned("doc_id", pack_bucket_bits(max_id))
     )
     bucket_sums = (
         b.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens")).collect()

@@ -1178,6 +1178,20 @@ def test_sequence_packing_bucket_size_invariance(spark, monkeypatch):
     assert int(t["seq_last"].max()) == (total - 1) // Q.SEQ_BUDGET
 
 
+def test_pack_bucket_bits_bounds_driver_collect():
+    """The prefix-sum bucket-sum collect must stay <= 2^16 rows at ANY
+    corpus size (the 10^12-doc driver-OOM guard), while small corpora keep
+    the 1024-doc minimum granularity."""
+    assert Q.pack_bucket_bits(499) == Q.PACK_BUCKET_BITS
+    assert Q.pack_bucket_bits(10**6) == Q.PACK_BUCKET_BITS
+    for max_id in (10**9, 10**12, 10**15):
+        bits = Q.pack_bucket_bits(max_id)
+        n_buckets = (max_id >> bits) + 1
+        assert n_buckets <= 1 << 16, (max_id, bits, n_buckets)
+        # and not absurdly coarse: at least 2^15 buckets of parallelism
+        assert n_buckets > 1 << 15
+
+
 def test_mixture_weights_matches_numpy(spark):
     """X69: weights/shares/epochs recomputed with numpy from the raw table."""
     import numpy as np
