@@ -88,7 +88,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
         "embedding_ann_ivf": Q.q_embedding_ann_ivf,
         "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
-        "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
         "source_rollup": Q.q_source_rollup,
         # ---- (a) round-5 additions (never driver-checked) -----------------
         # bit_string:true surface parity (rows-only: murmur bytes)
@@ -103,11 +102,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": Q.q_mixture_weights,
         # bloom-prefiltered decontamination, oracle shared with X18 (X70)
         "decontaminate_bloom": Q.q_decontaminate_bloom,
+        # audio energy-envelope fingerprint near-dup over real WAV decode (X71)
+        "audio_fingerprint_dedup": Q.q_audio_fingerprint_dedup,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # r4-green entries below rotate back into the window next round
-        # (incl. vocab / pii_scan / dedup_method_agreement / zipf_fit,
-        # displaced by the X67-X70 additions); until then
-        # tools/check_oracles.py + pytest keep them covered.
+        # (incl. vocab / pii_scan / dedup_method_agreement / zipf_fit /
+        # embedding_near_dup_clusters, displaced by the X67-X71 additions);
+        # until then tools/check_oracles.py + pytest keep them covered.
+        "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
         "vocab": Q.q_vocab,
         "pii_scan": Q.q_pii_scan,
         "dedup_method_agreement": Q.q_dedup_method_agreement,
@@ -1381,6 +1383,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT h.doc_id,
                    lpad(lower(hex(h.hu)), 16, '0') AS phash_hex,
+                   COALESCE(a.n_near, 0)::BIGINT AS n_near,
+                   a.min_ham
+            FROM hashes h LEFT JOIN agg a USING (doc_id)
+            ORDER BY h.doc_id
+        """,
+        # X71 audio fingerprint: window energies recomputed analytically
+        # from the planted waveform closed form (media.py: synth_afp_audio /
+        # afp64 — sample t's window is (t*65)//n, the assignment form, so
+        # the SQL inverts it exactly); brute-force pairs at hamming <= 3
+        # check the RIFF decode path AND the band join's structural recall.
+        "audio_fingerprint_dedup": f"""
+            WITH p AS (
+              SELECT doc_id, doc_id % {_media.AFP_GROUPS} AS g,
+                     260 + (doc_id % {_media.AFP_GROUPS}) * 16 AS n
+              FROM documents
+            ), tt AS (
+              SELECT doc_id, g, n, unnest(generate_series(0, n - 1)) AS t
+              FROM p
+            ), samp AS (
+              SELECT doc_id, (t * {_media.AFP_WINDOWS}) // n AS win,
+                     abs( (37*g + (5 + 2*g)*t) % 4096 - 2048
+                          + CASE WHEN t = doc_id % n THEN 800 ELSE 0 END
+                        ) AS amp
+              FROM tt
+            ), e AS (
+              SELECT doc_id, win, SUM(amp)::BIGINT AS energy
+              FROM samp GROUP BY doc_id, win
+            ), bits AS (
+              SELECT a.doc_id, a.win AS idx, (b.energy > a.energy)::INT AS bit
+              FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.win = a.win + 1
+            ), hashes AS (
+              SELECT doc_id,
+                     SUM(bit * (1::HUGEINT << idx))::UBIGINT AS hu
+              FROM bits GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     bit_count(xor(a.hu, b.hu))::BIGINT AS ham
+              FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.hu, b.hu)) <= {_media.PHASH_HAM_MAX}
+            ), sym AS (
+              SELECT da AS doc_id, ham FROM pairs
+              UNION ALL SELECT db, ham FROM pairs
+            ), agg AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_near,
+                     MIN(ham)::BIGINT AS min_ham
+              FROM sym GROUP BY doc_id
+            )
+            SELECT h.doc_id,
+                   lpad(lower(hex(h.hu)), 16, '0') AS afp_hex,
                    COALESCE(a.n_near, 0)::BIGINT AS n_near,
                    a.min_ham
             FROM hashes h LEFT JOIN agg a USING (doc_id)

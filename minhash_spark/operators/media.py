@@ -249,6 +249,48 @@ def dhash64(rgb: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+# ---------------------------------------------------------------------------
+# Audio energy-envelope fingerprint (Chromaprint-lite) + planted fixture
+# ---------------------------------------------------------------------------
+
+AFP_GROUPS = 19  # planted audio-dup groups: doc_id % AFP_GROUPS
+AFP_WINDOWS = 65  # 65 energy windows -> 64 difference bits
+
+
+def afp_len(group: int) -> int:
+    """Sample count for an audio-fingerprint fixture group (group-level so
+    same-group waveforms align window-for-window)."""
+    return 260 + (group % 97) * 16
+
+
+def synth_afp_audio(doc_id: int) -> np.ndarray:
+    """int16 mono waveform: a group-identity sawtooth (period/phase depend
+    only on doc_id % AFP_GROUPS) plus ONE per-doc spike (+800 at sample
+    doc_id % n) — so same-group docs differ in exactly one energy window
+    (<= 2 fingerprint bits) and cross-group docs have unrelated envelopes.
+    Closed-form (mirrored by the DuckDB oracle — keep in sync!)."""
+    g = doc_id % AFP_GROUPS
+    n = afp_len(g)
+    t = np.arange(n, dtype=np.int64)
+    s = (37 * g + (5 + 2 * g) * t) % 4096 - 2048
+    s[doc_id % n] += 800
+    return s.astype(np.int16)
+
+
+def afp64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: bucket samples into AFP_WINDOWS windows by
+    scan position (window of sample t = (t*65)//n — the assignment form,
+    exactly invertible in SQL), sum |amplitude| per window, set bit i iff
+    energy[i+1] > energy[i]. Signed two's-complement return like dhash64."""
+    n = len(samples)
+    idx = (np.arange(n, dtype=np.int64) * AFP_WINDOWS) // n
+    e = np.zeros(AFP_WINDOWS, dtype=np.int64)
+    np.add.at(e, idx, np.abs(samples.astype(np.int64)))
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def video_dims(doc_id: int) -> tuple[int, int, int]:
     """(n_frames, W, H)."""
     return 4 + doc_id % 5, 8 + doc_id % 9, 4 + doc_id % 7

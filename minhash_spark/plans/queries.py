@@ -2948,62 +2948,64 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "phash": pd.array(hashes, dtype="int64")}
             )
 
+    from minhash_spark.operators import perceptual
+
     hashes = docs.mapInPandas(hash_batches, "doc_id long, phash long")
     hashes = verify.barrier(hashes)  # hash once; reused by both join sides
-
-    hstats = hashes.groupBy("phash").agg(F.count("*").alias("n_docs"))
-    band = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("b"),
-                    F.shiftrightunsigned("phash", 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("v"),
-                )
-                for i in range(4)
-            ]
-        )
-    ).alias("band")
-    bands = hstats.select("phash", "n_docs", band).select(
-        "phash", "n_docs", F.col("band.b").alias("b"), F.col("band.v").alias("v")
-    )
-    a, b2 = bands.alias("a"), bands.alias("b2")
-    cand = (
-        a.join(b2, (F.col("a.b") == F.col("b2.b")) & (F.col("a.v") == F.col("b2.v")))
-        .where(F.col("a.phash") < F.col("b2.phash"))
-        .select(
-            F.col("a.phash").alias("ph_a"),
-            F.col("a.n_docs").alias("na"),
-            F.col("b2.phash").alias("ph_b"),
-            F.col("b2.n_docs").alias("nb"),
-        )
-        .dropDuplicates(["ph_a", "ph_b"])  # a pair may collide in >1 band
-    )
-    pairs = cand.withColumn(
-        "ham",
-        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long"),
-    ).where(F.col("ham") <= media.PHASH_HAM_MAX)
-    sym = pairs.select(
-        F.col("ph_a").alias("phash"), F.col("nb").alias("other_n"), "ham"
-    ).unionByName(
-        pairs.select(F.col("ph_b").alias("phash"), F.col("na").alias("other_n"), "ham")
-    )
-    nbr = sym.groupBy("phash").agg(
-        F.sum("other_n").alias("nbr_mass"), F.min("ham").alias("nbr_min")
-    )
-    enriched = hstats.join(nbr, "phash", "left")
     return (
-        hashes.join(enriched, "phash")
+        perceptual.hamming_neighbor_stats(hashes, media.PHASH_HAM_MAX)
         .select(
             "doc_id",
-            F.lpad(F.lower(F.hex("phash")), 16, "0").alias("phash_hex"),
-            (F.col("n_docs") - 1 + F.coalesce(F.col("nbr_mass"), F.lit(0)))
-            .cast("long")
-            .alias("n_near"),
-            F.when(F.col("n_docs") > 1, F.lit(0).cast("long"))
-            .otherwise(F.col("nbr_min"))
-            .alias("min_ham"),
+            perceptual.hash_hex("phash").alias("phash_hex"),
+            "n_near",
+            "min_ham",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71: audio near-duplicate card — a Chromaprint-lite energy-envelope
+    fingerprint over REAL decoded WAV samples (RIFF chunk-walk decoder from
+    round 5), matched with the same pigeonhole band join as X67. Each doc
+    carries a planted PCM16 waveform (group-identity sawtooth + one per-doc
+    spike, so same-group docs differ in <= 2 fingerprint bits); the query
+    decodes the container, buckets samples into 65 scan-position windows,
+    sums |amplitude| per window (exact integers), and sets bit i iff
+    energy[i+1] > energy[i].
+
+    The DuckDB oracle recomputes window energies ANALYTICALLY from the
+    waveform closed form (sample t's window is (t*65)//n — the assignment
+    form inverts exactly in SQL) and brute-forces all pairs at hamming <= 3,
+    checking the RIFF decode path AND the structural band-join recall in
+    one value hash. Scale shape: identical to X67 — one decode scan, the
+    join over distinct fingerprints only, neighbor mass at hash granularity
+    (see operators/perceptual.py)."""
+    from minhash_spark.operators import media, perceptual
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def fp_batches(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            fps = []
+            for d in ids:
+                blob = media.encode_wav_pcm16(
+                    media.synth_afp_audio(int(d)), media.AUDIO_RATE
+                )
+                _rate, _ch, samples = media.decode_wav(blob)
+                fps.append(media.afp64(samples))
+            yield pd.DataFrame({"doc_id": ids, "phash": pd.array(fps, dtype="int64")})
+
+    fps = docs.mapInPandas(fp_batches, "doc_id long, phash long")
+    fps = verify.barrier(fps)
+    return (
+        perceptual.hamming_neighbor_stats(fps, media.PHASH_HAM_MAX)
+        .select(
+            "doc_id",
+            perceptual.hash_hex("phash").alias("afp_hex"),
+            "n_near",
+            "min_ham",
         )
         .orderBy("doc_id")
     )

@@ -189,3 +189,55 @@ def test_dhash_pigeonhole_band_guarantee():
                 other ^= 1 << p
             shared = [i for i in range(4) if bands(base)[i] == bands(other)[i]]
             assert shared, f"no shared band for flips {flips}"
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-envelope fingerprint (X71)
+# ---------------------------------------------------------------------------
+
+
+def _afp_brute(samples):
+    """Independent scalar re-implementation of media.afp64."""
+    n = len(samples)
+    e = [0] * media.AFP_WINDOWS
+    for t in range(n):
+        e[(t * media.AFP_WINDOWS) // n] += abs(int(samples[t]))
+    val = 0
+    for i in range(64):
+        if e[i + 1] > e[i]:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 18, 19, 97, 511, 4099])
+def test_afp64_matches_scalar_reference(doc_id):
+    s = media.synth_afp_audio(doc_id)
+    assert media.afp64(s) == _afp_brute(s)
+
+
+def test_afp64_survives_wav_round_trip(doc_id=137):
+    s = media.synth_afp_audio(doc_id)
+    blob = media.encode_wav_pcm16(s, media.AUDIO_RATE)
+    _rate, _ch, dec = media.decode_wav(blob)
+    assert media.afp64(dec) == media.afp64(s)
+
+
+def test_afp_same_group_docs_near_cross_group_far():
+    G = media.AFP_GROUPS
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    intra = [
+        ham(media.afp64(media.synth_afp_audio(d)),
+            media.afp64(media.synth_afp_audio(d + 7 * G)))
+        for d in range(G)
+    ]
+    cross = [
+        ham(media.afp64(media.synth_afp_audio(g)),
+            media.afp64(media.synth_afp_audio(g + 1)))
+        for g in range(G - 1)
+    ]
+    # one spike moves one window's energy: <= 2 difference bits flip per doc
+    assert max(intra) <= 4
+    assert sum(cross) / len(cross) > 10

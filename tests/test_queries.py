@@ -1218,3 +1218,27 @@ def test_mixture_weights_matches_numpy(spark):
     largest = g["sum"].idxmax()
     assert pdf.loc[smallest, "weight"] > pdf.loc[smallest, "token_share"]
     assert pdf.loc[largest, "weight"] < pdf.loc[largest, "token_share"]
+
+
+def test_audio_fingerprint_dedup_group_structure(spark):
+    """X71: same assertions as the image twin — hex round-trips to the
+    kernel's afp64 over the REAL decode path, planted groups make isolation
+    rare, min_ham==0 iff a fingerprint is shared."""
+    from minhash_spark.operators import media
+
+    rows = {r["doc_id"]: r for r in Q.q_audio_fingerprint_dedup(spark, SF).collect()}
+    assert len(rows) == 500
+    for did in (0, 1, 19, 137, 499):
+        s = media.synth_afp_audio(did)
+        expect = media.afp64(s) & ((1 << 64) - 1)
+        assert rows[did]["afp_hex"] == f"{expect:016x}"
+    with_near = sum(1 for r in rows.values() if r["n_near"] > 0)
+    assert with_near >= 450
+    from collections import Counter
+
+    hashes = Counter(r["afp_hex"] for r in rows.values())
+    for r in rows.values():
+        if hashes[r["afp_hex"]] > 1:
+            assert r["min_ham"] == 0
+        elif r["min_ham"] is not None:
+            assert 1 <= r["min_ham"] <= media.PHASH_HAM_MAX
