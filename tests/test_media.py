@@ -241,3 +241,22 @@ def test_afp_same_group_docs_near_cross_group_far():
     # one spike moves one window's energy: <= 2 difference bits flip per doc
     assert max(intra) <= 4
     assert sum(cross) / len(cross) > 10
+
+
+def test_hamming_neighbor_stats_degenerate_corpus_stays_linear(spark):
+    """Scale claim of the distinct-hash collapse: a corpus where EVERY doc
+    has the same perceptual hash (the billion-copies-of-one-meme case) must
+    produce zero band-join pair rows — neighbor counts come from the hash
+    multiplicity alone, never from a doc-level pair table."""
+    from pyspark.sql import functions as F
+
+    from minhash_spark.operators import perceptual
+
+    n = 1000
+    hashes = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(0x1234).cast("long").alias("phash")
+    )
+    out = perceptual.hamming_neighbor_stats(hashes, 3)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["n_near"] == n - 1 and r["min_ham"] == 0 for r in rows)
