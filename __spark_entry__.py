@@ -88,7 +88,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
         "embedding_ann_ivf": Q.q_embedding_ann_ivf,
         "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
-        "source_rollup": Q.q_source_rollup,
         # ---- (a) round-5 additions (never driver-checked) -----------------
         # bit_string:true surface parity (rows-only: murmur bytes)
         "minhash_bitstrings": Q.q_minhash_bitstrings,
@@ -104,11 +103,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": Q.q_decontaminate_bloom,
         # audio energy-envelope fingerprint near-dup over real WAV decode (X71)
         "audio_fingerprint_dedup": Q.q_audio_fingerprint_dedup,
+        # epoch-reshuffled deterministic training order (X72)
+        "training_order": Q.q_training_order,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # r4-green entries below rotate back into the window next round
         # (incl. vocab / pii_scan / dedup_method_agreement / zipf_fit /
-        # embedding_near_dup_clusters, displaced by the X67-X71 additions);
-        # until then tools/check_oracles.py + pytest keep them covered.
+        # embedding_near_dup_clusters / source_rollup, displaced by the
+        # X67-X72 additions); until then tools/check_oracles.py + pytest
+        # keep them covered.
+        "source_rollup": Q.q_source_rollup,
         "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
         "vocab": Q.q_vocab,
         "pii_scan": Q.q_pii_scan,
@@ -1460,6 +1463,27 @@ def oracle_sql() -> dict[str, str]:
                    ((tok_start + n_tokens - 1) // {Q.SEQ_BUDGET}
                     - tok_start // {Q.SEQ_BUDGET} + 1)::BIGINT AS n_seqs
             FROM c ORDER BY doc_id
+        """,
+        # X72 training order: the Lehmer mix is chosen precisely so DuckDB
+        # computes the identical permutation in exact BIGINT arithmetic
+        # (collisions broken by doc_id on both sides).
+        "training_order": f"""
+            WITH e AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, {Q.TRAIN_EPOCHS} - 1)) AS epoch
+              FROM documents
+            ), h AS (
+              SELECT doc_id, epoch,
+                     ((doc_id % {Q.TRAIN_ORDER_MOD}) * {Q.TRAIN_ORDER_MULT}
+                      + 12345 * (epoch + 1)) % {Q.TRAIN_ORDER_MOD} AS hv
+              FROM e
+            )
+            SELECT epoch::BIGINT AS epoch, doc_id,
+                   (hv % {Q.TRAIN_SHARDS})::BIGINT AS shard,
+                   (ROW_NUMBER() OVER (
+                      PARTITION BY epoch, hv % {Q.TRAIN_SHARDS}
+                      ORDER BY hv, doc_id))::BIGINT AS pos
+            FROM h ORDER BY epoch, shard, pos
         """,
         # X69 mixture weights: integer aggregates are exact; sqrt is IEEE-
         # correctly-rounded on both engines; the cross-source sqrt sum's

@@ -3201,3 +3201,63 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_id", "eval_id")
         .agg(F.count("*").cast("long").alias("n_shared_spans"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X72: deterministic training order (epoch-reshuffled shard + position plan)
+# ---------------------------------------------------------------------------
+
+TRAIN_SHARDS = 16  # sandbox value; production sets ~corpus_rows / 10^6
+TRAIN_EPOCHS = 2
+TRAIN_ORDER_MOD = 1_000_000_007  # Lehmer-style mix: every intermediate < 2^63
+TRAIN_ORDER_MULT = 2_654_435_761  # Knuth multiplicative constant
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72: the data-loader contract a training run needs on top of X25's
+    shard membership and X68's packing — a DETERMINISTIC, EPOCH-RESHUFFLED
+    global order: for each epoch, every doc gets a shard and a position
+    within that shard, reproducible across reruns and cluster sizes, with a
+    different permutation each epoch (the standard epoch-shuffle without
+    ever materializing a global sort).
+
+    The permutation key is a Lehmer-style multiplicative mix
+    ((doc_id % p) * 2654435761 + 12345*(epoch+1)) % p with p = 1e9+7 —
+    chosen over xxhash64 deliberately: every intermediate fits a signed
+    64-bit integer, so the DuckDB oracle computes the IDENTICAL permutation
+    (collisions broken by doc_id; quality is loader-shuffle grade, not
+    crypto). Shard = key % N; position = row_number within (epoch, shard)
+    ordered by (key, doc_id).
+
+    Scale shape: one narrow projection then a window partitioned by
+    (epoch, shard) — each window partition is one task, so N_SHARDS is the
+    parallelism/size knob: production uses ~corpus_rows/10^6 shards (which
+    is also loader file granularity), keeping each sort task at ~10^6 rows
+    regardless of corpus size; no global sort, no driver state. Two epochs
+    are emitted here to pin that the permutation actually changes."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(TRAIN_EPOCHS)])
+    ).alias("epoch")
+    keyed = docs.select("doc_id", epochs).withColumn(
+        "hv",
+        (
+            (F.col("doc_id") % TRAIN_ORDER_MOD) * TRAIN_ORDER_MULT
+            + 12345 * (F.col("epoch") + 1)
+        )
+        % TRAIN_ORDER_MOD,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("epoch", F.col("hv") % TRAIN_SHARDS).orderBy(
+        "hv", "doc_id"
+    )
+    return (
+        keyed.select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "doc_id",
+            (F.col("hv") % TRAIN_SHARDS).cast("long").alias("shard"),
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("epoch", "shard", "pos")
+    )

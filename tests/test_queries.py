@@ -1242,3 +1242,29 @@ def test_audio_fingerprint_dedup_group_structure(spark):
             assert r["min_ham"] == 0
         elif r["min_ham"] is not None:
             assert 1 <= r["min_ham"] <= media.PHASH_HAM_MAX
+
+
+def test_training_order_is_valid_epoch_reshuffled_permutation(spark):
+    """X72: per (epoch, shard) positions are 1..n contiguous, every doc
+    appears exactly once per epoch, epochs produce genuinely different
+    orders, and the whole card is deterministic across runs."""
+    import pandas as pd
+
+    a = Q.q_training_order(spark, SF).toPandas()
+    b = Q.q_training_order(spark, SF).toPandas()
+    assert a.equals(b)
+    assert set(a["epoch"]) == set(range(Q.TRAIN_EPOCHS))
+    for e in range(Q.TRAIN_EPOCHS):
+        ep = a[a["epoch"] == e]
+        assert len(ep) == 500 and ep["doc_id"].nunique() == 500
+        for s, grp in ep.groupby("shard"):
+            assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # epochs reshuffle: the (shard, pos) assignment of docs must differ
+    e0 = a[a["epoch"] == 0].set_index("doc_id")[["shard", "pos"]]
+    e1 = a[a["epoch"] == 1].set_index("doc_id")[["shard", "pos"]]
+    moved = (e0 != e1.loc[e0.index]).any(axis=1).mean()
+    assert moved > 0.5, f"epoch reshuffle moved only {moved:.0%} of docs"
+    # shard balance: multiplicative mix spreads the 500 docs sanely
+    sizes = a[a["epoch"] == 0].groupby("shard").size()
+    assert len(sizes) == Q.TRAIN_SHARDS
+    assert sizes.max() < 3 * sizes.min()
