@@ -84,7 +84,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_skew_report": Q.q_dedup_skew_report,
         "cluster_assign": Q.q_cluster_assign,
         "similar_docs_topk": Q.q_similar_docs_topk,
-        "embedding_topk": Q.q_embedding_topk,
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
         "embedding_ann_ivf": Q.q_embedding_ann_ivf,
         "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
@@ -105,12 +104,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_dedup": Q.q_audio_fingerprint_dedup,
         # epoch-reshuffled deterministic training order (X72)
         "training_order": Q.q_training_order,
+        # video keyframe fingerprint near-dup over the real PPM walker (X73)
+        "video_fingerprint_dedup": Q.q_video_fingerprint_dedup,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # r4-green entries below rotate back into the window next round
         # (incl. vocab / pii_scan / dedup_method_agreement / zipf_fit /
-        # embedding_near_dup_clusters / source_rollup, displaced by the
-        # X67-X72 additions); until then tools/check_oracles.py + pytest
-        # keep them covered.
+        # embedding_near_dup_clusters / source_rollup / embedding_topk,
+        # displaced by the X67-X73 additions); until then
+        # tools/check_oracles.py + pytest keep them covered.
+        "embedding_topk": Q.q_embedding_topk,
         "source_rollup": Q.q_source_rollup,
         "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
         "vocab": Q.q_vocab,
@@ -1386,6 +1388,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT h.doc_id,
                    lpad(lower(hex(h.hu)), 16, '0') AS phash_hex,
+                   COALESCE(a.n_near, 0)::BIGINT AS n_near,
+                   a.min_ham
+            FROM hashes h LEFT JOIN agg a USING (doc_id)
+            ORDER BY h.doc_id
+        """,
+        # X73 video keyframe fingerprint: the keyframe index is group-
+        # determined (n_frames//2), so the oracle samples the right frame's
+        # closed form; same dHash grid and brute-force pairing as X67.
+        "video_fingerprint_dedup": f"""
+            WITH p AS (
+              SELECT doc_id, doc_id % {_media.VFP_GROUPS} AS g,
+                     (4 + (doc_id % {_media.VFP_GROUPS}) % 5) // 2 AS kf,
+                     16 + (doc_id % {_media.VFP_GROUPS}) % 13 AS w,
+                     8 + (doc_id % {_media.VFP_GROUPS}) % 11 AS h
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, g, kf, w,
+                     ys.y * 8 + xs.x AS idx,
+                     (ys.y * h) // 8 AS r,
+                     (xs.x * w) // 9 AS c1,
+                     ((xs.x + 1) * w) // 9 AS c2
+              FROM p, range(8) ys(y), range(8) xs(x)
+            ), bits AS (
+              SELECT doc_id, idx,
+                     (( (11*g + 19*kf + (3 + 2*g)*r + (5 + g)*c1) % 256
+                        + 200 * ((r*w + c1 + doc_id) % 89 = 0)::INT ) % 256
+                      <
+                      ( (11*g + 19*kf + (3 + 2*g)*r + (5 + g)*c2) % 256
+                        + 200 * ((r*w + c2 + doc_id) % 89 = 0)::INT ) % 256
+                     )::INT AS bit
+              FROM pos
+            ), hashes AS (
+              SELECT doc_id,
+                     SUM(bit * (1::HUGEINT << idx))::UBIGINT AS hu
+              FROM bits GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     bit_count(xor(a.hu, b.hu))::BIGINT AS ham
+              FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.hu, b.hu)) <= {_media.PHASH_HAM_MAX}
+            ), sym AS (
+              SELECT da AS doc_id, ham FROM pairs
+              UNION ALL SELECT db, ham FROM pairs
+            ), agg AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_near,
+                     MIN(ham)::BIGINT AS min_ham
+              FROM sym GROUP BY doc_id
+            )
+            SELECT h.doc_id,
+                   lpad(lower(hex(h.hu)), 16, '0') AS vhash_hex,
                    COALESCE(a.n_near, 0)::BIGINT AS n_near,
                    a.min_ham
             FROM hashes h LEFT JOIN agg a USING (doc_id)

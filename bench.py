@@ -278,6 +278,7 @@ def main():
     timed("decontaminate_bloom_docs", lambda: Q.q_decontaminate_bloom(spark, sf_dir))
     timed("audio_fingerprint_docs", lambda: Q.q_audio_fingerprint_dedup(spark, sf_dir))
     timed("training_order_docs", lambda: Q.q_training_order(spark, sf_dir))
+    timed("video_fingerprint_docs", lambda: Q.q_video_fingerprint_dedup(spark, sf_dir))
 
     # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
     # reported min), so the comparable "first-run" total keeps the pipeline
@@ -290,7 +291,7 @@ def main():
         2,
     )
     total_min = round(sum(t["min"] for t in timings.values()), 2)
-    # like-for-like round comparison: the suite GREW in rounds 4-5 (21 new
+    # like-for-like round comparison: the suite GREW in rounds 4-5 (22 new
     # queries), so the headline total is not comparable to BENCH_r03 — this
     # subtotal restricts to the round-3 query set
     post_r3 = {
@@ -303,7 +304,7 @@ def main():
         "minhash_bitstrings_docs", "ann_operating_curve",
         "image_phash_dedup_docs", "sequence_packing_docs", "mixture_weights_docs",
         "decontaminate_bloom_docs", "audio_fingerprint_docs",
-        "training_order_docs",
+        "training_order_docs", "video_fingerprint_docs",
     }
     total_first_r3cmp = round(
         sum(

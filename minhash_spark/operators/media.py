@@ -291,6 +291,38 @@ def afp64(samples: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+# ---------------------------------------------------------------------------
+# Video keyframe fingerprint + planted near-dup fixture
+# ---------------------------------------------------------------------------
+
+VFP_GROUPS = 17  # planted video-dup groups: doc_id % VFP_GROUPS
+
+
+def vfp_dims(group: int) -> tuple[int, int, int]:
+    """(n_frames, W, H) for a video-fingerprint fixture group."""
+    return 4 + group % 5, 16 + group % 13, 8 + group % 11
+
+
+def synth_vfp_video(doc_id: int) -> list[np.ndarray]:
+    """Grayscale-as-RGB frame list whose content depends only on
+    doc_id % VFP_GROUPS, except a sparse per-doc perturbation (+200 mod 256
+    at every 89th scan position, offset by doc_id) applied ONLY to the
+    keyframe (frame n_frames//2) — same planted-group design as the image
+    and audio fixtures. Closed-form (mirrored by the DuckDB oracle)."""
+    g = doc_id % VFP_GROUPS
+    n_frames, w, h = vfp_dims(g)
+    kf = n_frames // 2
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    frames = []
+    for f in range(n_frames):
+        v = (11 * g + 19 * f + (3 + 2 * g) * r + (5 + g) * c) % 256
+        if f == kf:
+            v = (v + 200 * ((r * w + c + doc_id) % 89 == 0)) % 256
+        frames.append(np.repeat(v[:, :, None].astype(np.uint8), 3, axis=-1))
+    return frames
+
+
 def video_dims(doc_id: int) -> tuple[int, int, int]:
     """(n_frames, W, H)."""
     return 4 + doc_id % 5, 8 + doc_id % 9, 4 + doc_id % 7

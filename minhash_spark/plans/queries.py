@@ -3261,3 +3261,55 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# X73: video keyframe fingerprint near-dup (completes the multimodal trio)
+# ---------------------------------------------------------------------------
+
+def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73: video near-duplicate card — keyframe perceptual hashing over the
+    REAL PPM frame-stream parser (thumbnail/keyframe hashing, the standard
+    first-pass video dedup before anything temporal). Each doc carries a
+    planted multi-frame P6 stream (group-identity content + a sparse
+    perturbation on the keyframe only); the query walks the concatenated
+    PPM headers (comment/whitespace rules — offsets are parsed, never
+    assumed), extracts frame n_frames//2, and computes the same
+    point-sampled 9x8 luma dHash as X67, matched with the shared pigeonhole
+    band join.
+
+    The DuckDB oracle recomputes the keyframe hash ANALYTICALLY from the
+    synth closed form (keyframe index is group-determined, so the SQL knows
+    which frame formula to sample) and brute-forces all pairs at
+    hamming <= 3 — a frame-offset walk bug or a missed pair both diverge at
+    the value hash. Scale shape: identical to X67/X71 (one decode scan,
+    distinct-hash join, neighbor mass at hash granularity)."""
+    from minhash_spark.operators import media, perceptual
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def fp_batches(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            fps = []
+            for d in ids:
+                d = int(d)
+                blob = b"".join(
+                    media.encode_ppm(fr) for fr in media.synth_vfp_video(d)
+                )
+                frames = [rgb for _w, _h, rgb in media.iter_ppm_frames(blob)]
+                fps.append(media.dhash64(frames[len(frames) // 2]))
+            yield pd.DataFrame({"doc_id": ids, "phash": pd.array(fps, dtype="int64")})
+
+    fps = docs.mapInPandas(fp_batches, "doc_id long, phash long")
+    fps = verify.barrier(fps)
+    return (
+        perceptual.hamming_neighbor_stats(fps, media.PHASH_HAM_MAX)
+        .select(
+            "doc_id",
+            perceptual.hash_hex("phash").alias("vhash_hex"),
+            "n_near",
+            "min_ham",
+        )
+        .orderBy("doc_id")
+    )

@@ -260,3 +260,50 @@ def test_hamming_neighbor_stats_degenerate_corpus_stays_linear(spark):
     rows = out.collect()
     assert len(rows) == n
     assert all(r["n_near"] == n - 1 and r["min_ham"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Video keyframe fingerprint (X73)
+# ---------------------------------------------------------------------------
+
+
+def test_vfp_keyframe_hash_survives_ppm_stream_round_trip():
+    for doc_id in (0, 1, 17, 137, 499):
+        frames = media.synth_vfp_video(doc_id)
+        blob = b"".join(media.encode_ppm(fr) for fr in frames)
+        decoded = [rgb for _w, _h, rgb in media.iter_ppm_frames(blob)]
+        assert len(decoded) == len(frames)
+        for a, b in zip(frames, decoded):
+            assert np.array_equal(a, b)
+        assert media.dhash64(decoded[len(decoded) // 2]) == media.dhash64(
+            frames[len(frames) // 2]
+        )
+
+
+def test_vfp_same_group_near_cross_group_far():
+    G = media.VFP_GROUPS
+
+    def key_hash(d):
+        frames = media.synth_vfp_video(d)
+        return media.dhash64(frames[len(frames) // 2])
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    intra = [ham(key_hash(d), key_hash(d + 3 * G)) for d in range(G)]
+    cross = [ham(key_hash(g), key_hash(g + 1)) for g in range(G - 1)]
+    assert max(intra) <= 4  # sparse keyframe perturbation only
+    assert sum(cross) / len(cross) > 10
+
+
+def test_vfp_perturbation_hits_only_the_keyframe():
+    d = 42
+    g = d % media.VFP_GROUPS
+    n_frames, w, h = media.vfp_dims(g)
+    kf = n_frames // 2
+    base_d = d + 5 * media.VFP_GROUPS  # same group, different perturbation
+    a, b = media.synth_vfp_video(d), media.synth_vfp_video(base_d)
+    for f in range(n_frames):
+        if f == kf:
+            continue
+        assert np.array_equal(a[f], b[f])  # non-keyframes are group-identical

@@ -1268,3 +1268,25 @@ def test_training_order_is_valid_epoch_reshuffled_permutation(spark):
     sizes = a[a["epoch"] == 0].groupby("shard").size()
     assert len(sizes) == Q.TRAIN_SHARDS
     assert sizes.max() < 3 * sizes.min()
+
+
+def test_video_fingerprint_dedup_group_structure(spark):
+    """X73: keyframe-hash hex round-trips through the REAL PPM stream walk,
+    planted groups make isolation rare, min_ham==0 iff shared hash."""
+    from minhash_spark.operators import media
+
+    rows = {r["doc_id"]: r for r in Q.q_video_fingerprint_dedup(spark, SF).collect()}
+    assert len(rows) == 500
+    for did in (0, 1, 17, 137, 499):
+        frames = media.synth_vfp_video(did)
+        expect = media.dhash64(frames[len(frames) // 2]) & ((1 << 64) - 1)
+        assert rows[did]["vhash_hex"] == f"{expect:016x}"
+    assert sum(1 for r in rows.values() if r["n_near"] > 0) >= 450
+    from collections import Counter
+
+    hashes = Counter(r["vhash_hex"] for r in rows.values())
+    for r in rows.values():
+        if hashes[r["vhash_hex"]] > 1:
+            assert r["min_ham"] == 0
+        elif r["min_ham"] is not None:
+            assert 1 <= r["min_ham"] <= media.PHASH_HAM_MAX
