@@ -283,6 +283,35 @@ _DOC_SPANS_SQL = """
 """
 
 
+def _perceptual_oracle(hash_ctes: str, hex_col: str) -> str:
+    """Shared brute-force tail for the three perceptual oracles (X67 image /
+    X71 audio / X73 video): ``hash_ctes`` must end with a CTE named
+    ``hashes(doc_id, hu)`` with hu UBIGINT; the tail enumerates all pairs at
+    hamming <= PHASH_HAM_MAX and aggregates per-doc neighbor stats — one
+    copy of the pairing semantics to maintain."""
+    return f"""
+        WITH {hash_ctes}, pairs AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 bit_count(xor(a.hu, b.hu))::BIGINT AS ham
+          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hu, b.hu)) <= {_media.PHASH_HAM_MAX}
+        ), sym AS (
+          SELECT da AS doc_id, ham FROM pairs
+          UNION ALL SELECT db, ham FROM pairs
+        ), agg AS (
+          SELECT doc_id, COUNT(*)::BIGINT AS n_near,
+                 MIN(ham)::BIGINT AS min_ham
+          FROM sym GROUP BY doc_id
+        )
+        SELECT h.doc_id,
+               lpad(lower(hex(h.hu)), 16, '0') AS {hex_col},
+               COALESCE(a.n_near, 0)::BIGINT AS n_near,
+               a.min_ham
+        FROM hashes h LEFT JOIN agg a USING (doc_id)
+        ORDER BY h.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_clusters": """
@@ -1347,8 +1376,8 @@ def oracle_sql() -> dict[str, str]:
         # pigeonhole band join's guaranteed recall. Hash accumulates in
         # HUGEINT (bit 63 overflows BIGINT shifts) then casts to UBIGINT
         # for xor/bit_count/hex.
-        "image_phash_dedup": f"""
-            WITH p AS (
+        "image_phash_dedup": _perceptual_oracle(
+            f"""p AS (
               SELECT doc_id, doc_id % {_media.PHASH_GROUPS} AS g,
                      16 + (doc_id % {_media.PHASH_GROUPS}) % 17 AS w,
                      8 + (doc_id % {_media.PHASH_GROUPS}) % 13 AS h
@@ -1373,31 +1402,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      SUM(bit * (1::HUGEINT << idx))::UBIGINT AS hu
               FROM bits GROUP BY doc_id
-            ), pairs AS (
-              SELECT a.doc_id AS da, b.doc_id AS db,
-                     bit_count(xor(a.hu, b.hu))::BIGINT AS ham
-              FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-              WHERE bit_count(xor(a.hu, b.hu)) <= {_media.PHASH_HAM_MAX}
-            ), sym AS (
-              SELECT da AS doc_id, ham FROM pairs
-              UNION ALL SELECT db, ham FROM pairs
-            ), agg AS (
-              SELECT doc_id, COUNT(*)::BIGINT AS n_near,
-                     MIN(ham)::BIGINT AS min_ham
-              FROM sym GROUP BY doc_id
-            )
-            SELECT h.doc_id,
-                   lpad(lower(hex(h.hu)), 16, '0') AS phash_hex,
-                   COALESCE(a.n_near, 0)::BIGINT AS n_near,
-                   a.min_ham
-            FROM hashes h LEFT JOIN agg a USING (doc_id)
-            ORDER BY h.doc_id
-        """,
+            )""",
+            "phash_hex",
+        ),
         # X73 video keyframe fingerprint: the keyframe index is group-
         # determined (n_frames//2), so the oracle samples the right frame's
         # closed form; same dHash grid and brute-force pairing as X67.
-        "video_fingerprint_dedup": f"""
-            WITH p AS (
+        "video_fingerprint_dedup": _perceptual_oracle(
+            f"""p AS (
               SELECT doc_id, doc_id % {_media.VFP_GROUPS} AS g,
                      (4 + (doc_id % {_media.VFP_GROUPS}) % 5) // 2 AS kf,
                      16 + (doc_id % {_media.VFP_GROUPS}) % 13 AS w,
@@ -1423,33 +1435,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      SUM(bit * (1::HUGEINT << idx))::UBIGINT AS hu
               FROM bits GROUP BY doc_id
-            ), pairs AS (
-              SELECT a.doc_id AS da, b.doc_id AS db,
-                     bit_count(xor(a.hu, b.hu))::BIGINT AS ham
-              FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-              WHERE bit_count(xor(a.hu, b.hu)) <= {_media.PHASH_HAM_MAX}
-            ), sym AS (
-              SELECT da AS doc_id, ham FROM pairs
-              UNION ALL SELECT db, ham FROM pairs
-            ), agg AS (
-              SELECT doc_id, COUNT(*)::BIGINT AS n_near,
-                     MIN(ham)::BIGINT AS min_ham
-              FROM sym GROUP BY doc_id
-            )
-            SELECT h.doc_id,
-                   lpad(lower(hex(h.hu)), 16, '0') AS vhash_hex,
-                   COALESCE(a.n_near, 0)::BIGINT AS n_near,
-                   a.min_ham
-            FROM hashes h LEFT JOIN agg a USING (doc_id)
-            ORDER BY h.doc_id
-        """,
+            )""",
+            "vhash_hex",
+        ),
         # X71 audio fingerprint: window energies recomputed analytically
         # from the planted waveform closed form (media.py: synth_afp_audio /
         # afp64 — sample t's window is (t*65)//n, the assignment form, so
         # the SQL inverts it exactly); brute-force pairs at hamming <= 3
         # check the RIFF decode path AND the band join's structural recall.
-        "audio_fingerprint_dedup": f"""
-            WITH p AS (
+        "audio_fingerprint_dedup": _perceptual_oracle(
+            f"""p AS (
               SELECT doc_id, doc_id % {_media.AFP_GROUPS} AS g,
                      260 + (doc_id % {_media.AFP_GROUPS}) * 16 AS n
               FROM documents
@@ -1472,26 +1467,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      SUM(bit * (1::HUGEINT << idx))::UBIGINT AS hu
               FROM bits GROUP BY doc_id
-            ), pairs AS (
-              SELECT a.doc_id AS da, b.doc_id AS db,
-                     bit_count(xor(a.hu, b.hu))::BIGINT AS ham
-              FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-              WHERE bit_count(xor(a.hu, b.hu)) <= {_media.PHASH_HAM_MAX}
-            ), sym AS (
-              SELECT da AS doc_id, ham FROM pairs
-              UNION ALL SELECT db, ham FROM pairs
-            ), agg AS (
-              SELECT doc_id, COUNT(*)::BIGINT AS n_near,
-                     MIN(ham)::BIGINT AS min_ham
-              FROM sym GROUP BY doc_id
-            )
-            SELECT h.doc_id,
-                   lpad(lower(hex(h.hu)), 16, '0') AS afp_hex,
-                   COALESCE(a.n_near, 0)::BIGINT AS n_near,
-                   a.min_ham
-            FROM hashes h LEFT JOIN agg a USING (doc_id)
-            ORDER BY h.doc_id
-        """,
+            )""",
+            "afp_hex",
+        ),
         # X68 sequence packing: the oracle is the NAIVE global window cumsum
         # the two-phase distributed prefix sum must reproduce exactly —
         # bucket-boundary bookkeeping errors show up as value mismatches.

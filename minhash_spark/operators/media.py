@@ -259,8 +259,9 @@ AFP_WINDOWS = 65  # 65 energy windows -> 64 difference bits
 
 def afp_len(group: int) -> int:
     """Sample count for an audio-fingerprint fixture group (group-level so
-    same-group waveforms align window-for-window)."""
-    return 260 + (group % 97) * 16
+    same-group waveforms align window-for-window). Literally the same
+    formula as the DuckDB oracle's `260 + (doc_id % AFP_GROUPS) * 16`."""
+    return 260 + group * 16
 
 
 def synth_afp_audio(doc_id: int) -> np.ndarray:

@@ -2905,8 +2905,42 @@ def q_compression_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X67: perceptual image near-dup (dHash + pigeonhole band join)
+# X67/X71/X73: perceptual media near-dup (shared pigeonhole machinery)
 # ---------------------------------------------------------------------------
+
+
+def _perceptual_dedup(spark, sf_dir, kernel, hex_col: str) -> DataFrame:
+    """Shared wrapper for the perceptual cards (X67 image / X71 audio /
+    X73 video): hash every doc with ``kernel`` (doc_id -> signed 64-bit
+    hash through the real encode->decode codec path), barrier the hash
+    table once (reused by both band-join sides), then run the pigeonhole
+    neighbor join (operators/perceptual.py)."""
+    from minhash_spark.operators import media, perceptual
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def hash_batches(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "phash": pd.array([kernel(int(d)) for d in ids], dtype="int64"),
+                }
+            )
+
+    hashes = verify.barrier(docs.mapInPandas(hash_batches, "doc_id long, phash long"))
+    return (
+        perceptual.hamming_neighbor_stats(hashes, media.PHASH_HAM_MAX)
+        .select(
+            "doc_id",
+            perceptual.hash_hex("phash").alias(hex_col),
+            "n_near",
+            "min_ham",
+        )
+        .orderBy("doc_id")
+    )
+
 
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X67: perceptual image near-duplicate card — dHash over REAL decoded
@@ -2933,35 +2967,12 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate corpora would reuse the star-cap treatment in operators/lsh.py."""
     from minhash_spark.operators import media
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-
-    def hash_batches(batches):
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            hashes = [
-                media.dhash64(
-                    media.decode_bmp(media.encode_bmp(media.synth_phash_image(int(d))))[2]
-                )
-                for d in ids
-            ]
-            yield pd.DataFrame(
-                {"doc_id": ids, "phash": pd.array(hashes, dtype="int64")}
-            )
-
-    from minhash_spark.operators import perceptual
-
-    hashes = docs.mapInPandas(hash_batches, "doc_id long, phash long")
-    hashes = verify.barrier(hashes)  # hash once; reused by both join sides
-    return (
-        perceptual.hamming_neighbor_stats(hashes, media.PHASH_HAM_MAX)
-        .select(
-            "doc_id",
-            perceptual.hash_hex("phash").alias("phash_hex"),
-            "n_near",
-            "min_ham",
+    def kernel(d: int) -> int:
+        return media.dhash64(
+            media.decode_bmp(media.encode_bmp(media.synth_phash_image(d)))[2]
         )
-        .orderBy("doc_id")
-    )
+
+    return _perceptual_dedup(spark, sf_dir, kernel, "phash_hex")
 
 
 def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2981,34 +2992,14 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one value hash. Scale shape: identical to X67 — one decode scan, the
     join over distinct fingerprints only, neighbor mass at hash granularity
     (see operators/perceptual.py)."""
-    from minhash_spark.operators import media, perceptual
+    from minhash_spark.operators import media
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    def kernel(d: int) -> int:
+        blob = media.encode_wav_pcm16(media.synth_afp_audio(d), media.AUDIO_RATE)
+        _rate, _ch, samples = media.decode_wav(blob)
+        return media.afp64(samples)
 
-    def fp_batches(batches):
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            fps = []
-            for d in ids:
-                blob = media.encode_wav_pcm16(
-                    media.synth_afp_audio(int(d)), media.AUDIO_RATE
-                )
-                _rate, _ch, samples = media.decode_wav(blob)
-                fps.append(media.afp64(samples))
-            yield pd.DataFrame({"doc_id": ids, "phash": pd.array(fps, dtype="int64")})
-
-    fps = docs.mapInPandas(fp_batches, "doc_id long, phash long")
-    fps = verify.barrier(fps)
-    return (
-        perceptual.hamming_neighbor_stats(fps, media.PHASH_HAM_MAX)
-        .select(
-            "doc_id",
-            perceptual.hash_hex("phash").alias("afp_hex"),
-            "n_near",
-            "min_ham",
-        )
-        .orderBy("doc_id")
-    )
+    return _perceptual_dedup(spark, sf_dir, kernel, "afp_hex")
 
 
 # ---------------------------------------------------------------------------
@@ -3050,9 +3041,17 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tokenization matches q_token_counts' whitespace tokens (trim + split),
     so n_tokens >= 1 for every doc (empty text splits to [''])."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    # barrier: the tokenizing scan feeds BOTH prefix-sum phases (bucket
+    # aggregate action + windowed plan) plus the max_id probe — materialize
+    # the tiny (doc_id, n_tokens) frame once instead of re-running the
+    # regex split over the corpus per consumer
+    docs = verify.barrier(
+        load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
     )
     max_id = docs.agg(F.max("doc_id")).first()[0] or 0
     b = docs.withColumn(
@@ -3178,8 +3177,13 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     spans = _doc_spans(docs, BOILERPLATE_N)
-    ev = spans.where(F.col("doc_id") < 20).select(
-        F.col("doc_id").alias("eval_id"), "span"
+    # barrier: the eval span explode feeds THREE consumers (key count,
+    # bitmap build, exact join) — materialize it once, same discipline as
+    # the perceptual queries' hash tables
+    ev = verify.barrier(
+        spans.where(F.col("doc_id") < 20).select(
+            F.col("doc_id").alias("eval_id"), "span"
+        )
     )
     tr = spans.where(F.col("doc_id") >= 20).select(
         F.col("doc_id").alias("train_id"), "span"
@@ -3284,32 +3288,11 @@ def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming <= 3 — a frame-offset walk bug or a missed pair both diverge at
     the value hash. Scale shape: identical to X67/X71 (one decode scan,
     distinct-hash join, neighbor mass at hash granularity)."""
-    from minhash_spark.operators import media, perceptual
+    from minhash_spark.operators import media
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    def kernel(d: int) -> int:
+        blob = b"".join(media.encode_ppm(fr) for fr in media.synth_vfp_video(d))
+        frames = [rgb for _w, _h, rgb in media.iter_ppm_frames(blob)]
+        return media.dhash64(frames[len(frames) // 2])
 
-    def fp_batches(batches):
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            fps = []
-            for d in ids:
-                d = int(d)
-                blob = b"".join(
-                    media.encode_ppm(fr) for fr in media.synth_vfp_video(d)
-                )
-                frames = [rgb for _w, _h, rgb in media.iter_ppm_frames(blob)]
-                fps.append(media.dhash64(frames[len(frames) // 2]))
-            yield pd.DataFrame({"doc_id": ids, "phash": pd.array(fps, dtype="int64")})
-
-    fps = docs.mapInPandas(fp_batches, "doc_id long, phash long")
-    fps = verify.barrier(fps)
-    return (
-        perceptual.hamming_neighbor_stats(fps, media.PHASH_HAM_MAX)
-        .select(
-            "doc_id",
-            perceptual.hash_hex("phash").alias("vhash_hex"),
-            "n_near",
-            "min_ham",
-        )
-        .orderBy("doc_id")
-    )
+    return _perceptual_dedup(spark, sf_dir, kernel, "vhash_hex")

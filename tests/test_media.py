@@ -147,7 +147,7 @@ def test_dhash64_signed_two_complement_hex_round_trip():
     assert f"{v & ((1 << 64) - 1):016x}" == "f" * 16
 
 
-def test_dhash64_same_group_docs_collide_or_nearly(doc_id_pairs=None):
+def test_dhash64_same_group_docs_collide_or_nearly():
     """Planted structure: unperturbed same-group docs would hash equal; the
     sparse perturbation keeps intra-group hamming small (<= 2 flips per
     sampled hit), while cross-group hashes are far apart on average."""
