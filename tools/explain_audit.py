@@ -58,11 +58,13 @@ AUDITED = [
     "approx_corpus_profile",
     "repeated_substring_scores",
     "multimodal_frames",
-    # round-5 additions: the two-phase prefix sum must show a broadcast
-    # offsets join (no single-task global window); the mixture card must be
-    # one partial agg + 1-row broadcast cross join
-    "sequence_packing",
+    # round-5 additions: the mixture card must be one partial agg + 1-row
+    # broadcast cross join; training_order must window by (epoch, shard)
+    # with no global sort before the final presentation orderBy; the bloom
+    # path must show the probe filter BEFORE the exact span join
     "mixture_weights",
+    "training_order",
+    "decontaminate_bloom",
 ]
 
 # Queries whose steady-state plan is a lineage-truncated Scan ExistingRDD
@@ -79,7 +81,11 @@ BUILD_AUDITED = [
     "containment_dup_pairs",
     # X67: barrier sits on the per-doc hash table; build mode keeps the
     # mapInPandas -> distinct-hash agg -> band self-join DAG visible
+    # (audio/video share the identical machinery via _perceptual_dedup)
     "image_phash_dedup",
+    # X68: barrier sits on the tokenized frame; build mode shows the scan ->
+    # tokenize -> broadcast offsets join -> per-bucket window prefix sum
+    "sequence_packing",
 ]
 
 CHECKS = {
