@@ -39,9 +39,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # therefore holds (a) entries the driver has never checked (round-5
     # additions), (b) entries whose behavior changes this round (multimodal
     # decode is now real), (c) the 24-query r3 cohort whose newest driver row
-    # is r3, and (d) the load-bearing dedup/ANN core. The 27 r4-green entries
-    # past the window rotate back in next round; all 77 remain covered every
-    # round by tools/check_oracles.py and pytest.
+    # is r3, and (d) the load-bearing dedup/ANN core. The 33 r4-green entries
+    # past the window (26 rotated at round start + 7 displaced by the X67-X73
+    # additions) rotate back next round; all 83 remain covered every round by
+    # tools/check_oracles.py and pytest.
     return {
         # ---- (c) r3 cohort: newest driver row is r3 — refresh first -------
         "stratified_sample": Q.q_stratified_sample,

@@ -33,6 +33,12 @@ def main():
     p.add_argument("--eval", default=None, help="eval-set parquet (content column)")
     p.add_argument("--span-n", type=int, default=5, help="decontamination n-gram size")
     p.add_argument("--min-shared-spans", type=int, default=1)
+    p.add_argument(
+        "--decontam-bloom",
+        action="store_true",
+        help="use the Bloom-bitmap prefilter decontamination path (for eval "
+        "span sets too large to broadcast exactly; identical output)",
+    )
     p.add_argument("--shards-out", type=int, default=0)
     p.add_argument("--shards-path", default=None)
     p.add_argument(
@@ -82,6 +88,7 @@ def main():
         min_shared_spans=args.min_shared_spans,
         license_allow=parse_license_allow(args.license_allow),
         fork_collapse_min_jaccard=args.collapse_forks,
+        decontam_mode="bloom" if args.decontam_bloom else "broadcast",
     )
     final = pipe.run_curation(files, eval_files=eval_df)
 

@@ -77,6 +77,7 @@ class CurationPipeline(DedupPipeline):
         min_shared_spans: int = 1,
         license_allow: list[str] | None = None,
         fork_collapse_min_jaccard: float | None = None,
+        decontam_mode: str = "broadcast",
     ):
         """``license_allow``: optional The-Stack-style license gate — keep
         only files whose detected license family (operators/curation.py:
@@ -88,6 +89,16 @@ class CurationPipeline(DedupPipeline):
         super().__init__(spark, io, cfg)
         self.span_n = span_n
         self.min_shared_spans = min_shared_spans
+        # PHYSICAL-ONLY knob (like MinHashConfig.kernel_group): "broadcast"
+        # ships the exact eval span set to every executor (right for
+        # benchmark-sized sets); "bloom" broadcasts an m-bit bitmap and
+        # prefilters train spans map-side before a non-broadcast exact join
+        # (the >RAM eval-set path, X70). No false negatives => identical
+        # output, so it deliberately does NOT participate in decontam_hash —
+        # flipping it must not invalidate checkpoints.
+        if decontam_mode not in ("broadcast", "bloom"):
+            raise ValueError(f"unknown decontam_mode {decontam_mode!r}")
+        self.decontam_mode = decontam_mode
         self.license_allow = sorted(license_allow) if license_allow else None
         # optional repo-level fork collapse (operators/collections.py):
         # dropping a whole forked repo is one row-filter here instead of
@@ -270,12 +281,38 @@ class CurationPipeline(DedupPipeline):
                 .select("span")
                 .distinct()
             )
-            # map-side contamination check: the eval span set is small by
-            # construction (benchmarks), so it broadcasts; the train side
-            # streams through with NO shuffle of the corpus
+            if self.decontam_mode == "bloom":
+                # X70 path: broadcast a Bloom BITMAP of the eval spans,
+                # prefilter train spans map-side, exact-join the survivors
+                # WITHOUT broadcasting the eval set (it wouldn't fit at the
+                # 10^9-span scale this mode exists for). No false negatives
+                # => identical hits to the broadcast path (pytest-pinned).
+                import math
+
+                from minhash_spark.operators import bloom
+                from minhash_spark.operators.verify import barrier
+
+                ev = barrier(eval_spans)  # feeds count + build + exact join
+                ev_h = bloom.with_key_hashes(ev, "span")
+                n_keys = ev_h.count()
+                m_bits = 1 << max(10, math.ceil(math.log2(max(1, 16 * n_keys))))
+                k = min(16, bloom.optimal_k(m_bits, n_keys))
+                bitmap = bloom.build_bitmap(ev_h, m_bits, k)
+                survivors = bloom.probe_filter(
+                    bloom.with_key_hashes(train_spans, "span"),
+                    self.spark,
+                    bitmap,
+                    k,
+                    m_bits,
+                ).drop("h1", "h2")
+                joined = survivors.join(ev, "span")
+            else:
+                # map-side contamination check: the eval span set is small by
+                # construction (benchmarks), so it broadcasts; the train side
+                # streams through with NO shuffle of the corpus
+                joined = train_spans.join(F.broadcast(eval_spans), "span")
             hits = (
-                train_spans.join(F.broadcast(eval_spans), "span")
-                .groupBy("file_id")
+                joined.groupBy("file_id")
                 .agg(F.count("*").alias("n_shared"))
                 .where(F.col("n_shared") >= self.min_shared_spans)
             )
