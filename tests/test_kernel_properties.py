@@ -209,3 +209,74 @@ def test_oph_estimator_error_within_bound_of_kseed():
     # and both must be unbiased enough to be usable at all
     assert abs(float(np.mean(est_kseed - truth))) < 0.05
     assert abs(float(np.mean(est_oph - truth))) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Perceptual kernels (X67/X71) — vectorized vs scalar brute on ARBITRARY input
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(9, 40),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_dhash64_equals_scalar_brute_on_random_images(h, w, seed):
+    from minhash_spark.operators import media
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = media.dhash64(rgb)
+    val = 0
+    for y in range(8):
+        for x in range(8):
+            r = (y * h) // 8
+            c1, c2 = (x * w) // 9, ((x + 1) * w) // 9
+            p1 = rgb[r, c1].astype(np.int64)
+            p2 = rgb[r, c2].astype(np.int64)
+            l1 = (int(p1[0]) + 2 * int(p1[1]) + int(p1[2])) // 4
+            l2 = (int(p2[0]) + 2 * int(p2[1]) + int(p2[2])) // 4
+            if l2 > l1:
+                val |= 1 << (y * 8 + x)
+    expect = val - (1 << 64) if val >= (1 << 63) else val
+    assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(65, 800), seed=st.integers(0, 2**32 - 1))
+def test_afp64_equals_scalar_brute_on_random_audio(n, seed):
+    from minhash_spark.operators import media
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n, dtype=np.int64).astype(np.int16)
+    got = media.afp64(samples)
+    e = [0] * media.AFP_WINDOWS
+    for t in range(n):
+        e[(t * media.AFP_WINDOWS) // n] += abs(int(samples[t]))
+    val = 0
+    for i in range(64):
+        if e[i + 1] > e[i]:
+            val |= 1 << i
+    expect = val - (1 << 64) if val >= (1 << 63) else val
+    assert got == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    base=st.integers(0, 2**64 - 1),
+    flips=st.sets(st.integers(0, 63), min_size=0, max_size=3),
+)
+def test_pigeonhole_band_property_on_random_hashes(base, flips):
+    """ANY pair within hamming <= 3 shares at least one 16-bit band — the
+    structural recall contract of perceptual.hamming_neighbor_stats, over
+    arbitrary hashes and arbitrary flip positions (not just the fixture)."""
+    other = base
+    for p in flips:
+        other ^= 1 << p
+    shared = [
+        i
+        for i in range(4)
+        if (base >> (16 * i)) & 0xFFFF == (other >> (16 * i)) & 0xFFFF
+    ]
+    assert shared
