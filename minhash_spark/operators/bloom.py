@@ -51,11 +51,13 @@ def build_bitmap(keys_hashed: DataFrame, m_bits: int, k: int) -> bytes:
     Scale shape: each task folds its partition into a local m/8-byte buffer
     (vectorized np.bitwise_or.at), emits ONE row, and the driver ORs the
     P partition bitmaps — driver memory is P x m/8 transient, network is
-    P x m/8 total. For a 10^9-key / 1.2 GB filter you'd coalesce the build
-    side to O(10) partitions first so the driver folds 10 buffers, not 10^4
-    (same two-level pattern as the prefix-sum bucket scan in
-    q_sequence_packing)."""
+    P x m/8 total. That P x m/8 product is ENFORCED, not advised: the build
+    side is coalesced so the collected buffers total <= ~512 MB, so a
+    10^9-key / 1.2 GB filter folds from a handful of wide tasks instead of
+    10^4 (same driver-cap discipline as IVF_TRAIN_CAP and the prefix-sum
+    bucket scan in q_sequence_packing)."""
     n_bytes = m_bits // 8
+    parts_cap = max(1, (512 << 20) // n_bytes)
 
     def fold(batches):
         import pandas as pd
@@ -74,7 +76,10 @@ def build_bitmap(keys_hashed: DataFrame, m_bits: int, k: int) -> bytes:
         if any_rows:
             yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
-    parts = keys_hashed.select("h1", "h2").mapInPandas(fold, "bitmap binary").collect()
+    keys = keys_hashed.select("h1", "h2")
+    if keys.rdd.getNumPartitions() > parts_cap:
+        keys = keys.coalesce(parts_cap)
+    parts = keys.mapInPandas(fold, "bitmap binary").collect()
     out = np.zeros(n_bytes, dtype=np.uint8)
     for row in parts:
         out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
