@@ -39,10 +39,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # therefore holds (a) entries the driver has never checked (round-5
     # additions), (b) entries whose behavior changes this round (multimodal
     # decode is now real), (c) the 24-query r3 cohort whose newest driver row
-    # is r3, and (d) the load-bearing dedup/ANN core. The 33 r4-green entries
+    # is r3, and (d) the load-bearing dedup/ANN core. The 36 r4-green entries
     # past the window (26 rotated at round start + 7 displaced by the X67-X73
-    # additions) rotate back next round; all 83 remain covered every round by
-    # tools/check_oracles.py and pytest.
+    # additions + 3 by X74-X76) rotate back next round; all 86 remain covered
+    # every round by tools/check_oracles.py and pytest.
     return {
         # ---- (c) r3 cohort: newest driver row is r3 — refresh first -------
         "stratified_sample": Q.q_stratified_sample,
@@ -84,9 +84,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_summary": Q.q_dedup_summary,
         "dedup_skew_report": Q.q_dedup_skew_report,
         "cluster_assign": Q.q_cluster_assign,
-        "similar_docs_topk": Q.q_similar_docs_topk,
-        "embedding_ann_lsh": Q.q_embedding_ann_lsh,
-        "embedding_ann_ivf": Q.q_embedding_ann_ivf,
         "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
         # ---- (a) round-5 additions (never driver-checked) -----------------
         # bit_string:true surface parity (rows-only: murmur bytes)
@@ -107,12 +104,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": Q.q_training_order,
         # video keyframe fingerprint near-dup over the real PPM walker (X73)
         "video_fingerprint_dedup": Q.q_video_fingerprint_dedup,
+        # repo-level near-dup via the MinHash union monoid (X74)
+        "repo_signature_dedup": Q.q_repo_signature_dedup,
+        # first-seen 13-gram novelty attribution (X75)
+        "novelty_scores": Q.q_novelty_scores,
+        # ingestion-order distance card over verified dup pairs (X76)
+        "dedup_locality": Q.q_dedup_locality,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # r4-green entries below rotate back into the window next round
         # (incl. vocab / pii_scan / dedup_method_agreement / zipf_fit /
         # embedding_near_dup_clusters / source_rollup / embedding_topk,
-        # displaced by the X67-X73 additions); until then
+        # displaced by the X67-X76 additions, and similar_docs_topk /
+        # embedding_ann_lsh / embedding_ann_ivf displaced by X74-X76 — all
+        # three carry hard pytest recall/contract gates); until then
         # tools/check_oracles.py + pytest keep them covered.
+        "similar_docs_topk": Q.q_similar_docs_topk,
+        "embedding_ann_lsh": Q.q_embedding_ann_lsh,
+        "embedding_ann_ivf": Q.q_embedding_ann_ivf,
         "embedding_topk": Q.q_embedding_topk,
         "source_rollup": Q.q_source_rollup,
         "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
@@ -1538,5 +1546,81 @@ def oracle_sql() -> dict[str, str]:
                          * {float(Q.MIX_TARGET_TOKENS)} / n_tokens, 4)
                      AS epochs_at_10m
             FROM per, tot ORDER BY source
+        """,
+        # X74 repo-level near-dup: brute-force all-pairs vocabulary Jaccard.
+        # Valid as an oracle for the Spark LSH path because banding recall
+        # at j >= threshold is 1.0 (queries.py REPO_DEDUP_THRESHOLD note)
+        # and the Spark side filters on the SAME exact jaccard. Threshold
+        # interpolated from the one constant the Spark side uses, so the
+        # SPARK_GRAFT_REPO_DEDUP_T override cannot desync the two engines.
+        "repo_signature_dedup": f"""
+            WITH t AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS term
+              FROM documents
+            ), v AS (
+              SELECT DISTINCT source, term FROM t
+            ), c AS (
+              SELECT source, count(*) AS n FROM v GROUP BY source
+            ), sh AS (
+              SELECT a.source AS a_source, b.source AS b_source,
+                     count(*) AS n_shared
+              FROM v a JOIN v b USING (term)
+              WHERE a.source < b.source
+              GROUP BY a.source, b.source
+            )
+            SELECT sh.a_source, sh.b_source,
+                   sh.n_shared::BIGINT AS n_shared,
+                   ca.n::BIGINT AS n_a_terms,
+                   cb.n::BIGINT AS n_b_terms,
+                   sh.n_shared::DOUBLE / (ca.n + cb.n - sh.n_shared) AS jaccard
+            FROM sh
+            JOIN c ca ON ca.source = sh.a_source
+            JOIN c cb ON cb.source = sh.b_source
+            WHERE sh.n_shared::DOUBLE / (ca.n + cb.n - sh.n_shared)
+                    >= {Q.REPO_DEDUP_THRESHOLD}
+        """,
+        # X75 novelty: same span builder as boilerplate_spans but 13-wide
+        # (width interpolated from Q.NOVELTY_N), min-attributed to the first
+        # doc_id. int/int divisions only — doubles are engine-exact.
+        "novelty_scores": f"""
+            WITH tw AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[0-9A-Za-z_]+') AS w
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) < {Q.NOVELTY_N}
+                          THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(list_transform(
+                               generate_series(1, len(w)-{Q.NOVELTY_N - 1}),
+                               i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(Q.NOVELTY_N))}))
+                          END) AS span
+              FROM tw
+            ), f AS (
+              SELECT span, min(doc_id) AS first_doc FROM s GROUP BY span
+            )
+            SELECT s.doc_id,
+                   count(*)::BIGINT AS n_spans,
+                   sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+                     AS n_novel,
+                   sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) AS novelty
+            FROM s JOIN f USING (span)
+            GROUP BY s.doc_id
+        """,
+        # X76 locality card: composed over the near-dup pair oracle; digit
+        # binning and min/max keep every output column engine-exact (the
+        # jaccard doubles are the same values near_dup_pairs already pins).
+        "dedup_locality": f"""
+            WITH p AS ({_NEAR_DUP_PAIRS_SQL}),
+            d AS (SELECT b_id - a_id AS dist, jaccard FROM p)
+            SELECT length(dist::VARCHAR)::BIGINT AS dist_digits,
+                   count(*)::BIGINT AS n_pairs,
+                   min(dist)::BIGINT AS min_dist,
+                   max(dist)::BIGINT AS max_dist,
+                   min(jaccard) AS min_jaccard,
+                   max(jaccard) AS max_jaccard
+            FROM d GROUP BY length(dist::VARCHAR)
         """,
     }

@@ -86,7 +86,7 @@ SESSION_CACHED = {
     "embedding_near_dup_pairs", "cluster_representatives_docs",
     "dedup_skew_report_docs", "threshold_sweep_docs", "cluster_assign_docs",
     "method_agreement_docs", "dedup_rewrite_docs", "dedup_growth_curve_docs",
-    "source_dedup_report_docs",
+    "source_dedup_report_docs", "dedup_locality_docs",
 }
 
 
@@ -279,6 +279,9 @@ def main():
     timed("audio_fingerprint_docs", lambda: Q.q_audio_fingerprint_dedup(spark, sf_dir))
     timed("training_order_docs", lambda: Q.q_training_order(spark, sf_dir))
     timed("video_fingerprint_docs", lambda: Q.q_video_fingerprint_dedup(spark, sf_dir))
+    timed("repo_signature_dedup_docs", lambda: Q.q_repo_signature_dedup(spark, sf_dir))
+    timed("novelty_scores_docs", lambda: Q.q_novelty_scores(spark, sf_dir))
+    timed("dedup_locality_docs", lambda: Q.q_dedup_locality(spark, sf_dir))
 
     # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
     # reported min), so the comparable "first-run" total keeps the pipeline
@@ -305,6 +308,8 @@ def main():
         "image_phash_dedup_docs", "sequence_packing_docs", "mixture_weights_docs",
         "decontaminate_bloom_docs", "audio_fingerprint_docs",
         "training_order_docs", "video_fingerprint_docs",
+        "repo_signature_dedup_docs", "novelty_scores_docs",
+        "dedup_locality_docs",
     }
     total_first_r3cmp = round(
         sum(

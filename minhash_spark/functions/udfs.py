@@ -257,6 +257,63 @@ def minhash_bitstring_udf(cfg: MinHashConfig):
     return _udf
 
 
+def minhash_mins_udf(cfg: MinHashConfig):
+    """content -> array<long> of the raw 64-bit minima (NOT b-bit packed).
+
+    The raw minima are the mergeable form of the signature: MinHash is a
+    monoid under elementwise min (min over A ∪ B = elementwise min of the
+    per-set minima), so collection-level signatures (repo = union of its
+    files' token sets) are a plain aggregation over this column. The b-bit
+    packed signature is NOT mergeable — packing keeps only the low bits of
+    each minimum, and min ordering is not recoverable from them — so
+    collection rollups must happen at this layer, before ``pack_bbit``.
+    Null content (after null_value coalescing) yields a null array.
+
+    Only the ``kseed`` scheme is mergeable as-is; OPH's empty-bucket rotation
+    fill-in runs AFTER the minima, so OPH signatures must be merged from the
+    pre-rotation bucket minima (not offered here — validate() rejects it).
+    """
+    cfg.validate()
+    if cfg.scheme == "oph":
+        raise ValueError(
+            "minhash_mins_udf: OPH minima are rotation-filled and not "
+            "mergeable post-fill; use scheme='kseed' for collection rollups"
+        )
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        mins, mask = _compute_mins(texts, cfg)
+        return pd.Series(
+            [mins[i] if mask[i] else None for i in range(len(texts))]
+        )
+
+    return _udf
+
+
+def bands_from_mins_udf(cfg: MinHashConfig):
+    """array<long> minima -> array<long> LSH band keys (kernel.band_keys).
+
+    Used after a collection-level elementwise-min merge: the merged minima
+    re-enter the SAME banding as per-document signatures, so one LSH/topology
+    stack (operators/lsh.py) serves documents and collections alike."""
+    cfg.validate()
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(mins: pd.Series) -> pd.Series:
+        out = []
+        vals = mins.tolist()
+        ok = [i for i, v in enumerate(vals) if v is not None]
+        if ok:
+            arr = np.asarray([vals[i] for i in ok], dtype=np.int64)
+            bands = kernel.band_keys(arr, cfg.num_bands, cfg.rows_per_band)
+        res: list = [None] * len(vals)
+        for j, i in enumerate(ok):
+            res[i] = bands[j]
+        return pd.Series(res)
+
+    return _udf
+
+
 def sig_bitmatch_udf():
     """(sig_a, sig_b) -> fraction of equal bits (MinHash.compare, SURVEY §2.1.6).
     Vectorized XOR + popcount over the whole batch."""

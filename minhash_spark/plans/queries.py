@@ -3296,3 +3296,175 @@ def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return media.dhash64(frames[len(frames) // 2])
 
     return _perceptual_dedup(spark, sf_dir, kernel, "vhash_hex")
+
+
+# ---------------------------------------------------------------------------
+# X74: repo/source-level near-dup via the MinHash union monoid
+# ---------------------------------------------------------------------------
+
+# collection-level similarity threshold: forks/mirrors share ~everything, so
+# the operating point sits high (The Stack collapses forks at >=0.7-0.9 blob
+# overlap). At j >= 0.9 the 32x4 banding's per-pair miss probability is
+# (1 - 0.9^4)^32 ~ 1.4e-15 — candidate recall is 1.0 for every pair the
+# exact filter would keep, which is what makes the exact-SQL oracle valid.
+REPO_DEDUP_THRESHOLD = float(os.environ.get("SPARK_GRAFT_REPO_DEDUP_T", "0.9"))
+
+REPO_CFG = MinHashConfig(
+    seed=0,
+    size=128,
+    bit=1,
+    tokenizer="word",
+    num_bands=32,
+    rows_per_band=4,
+    verify_threshold=REPO_DEDUP_THRESHOLD,
+)
+
+
+def q_repo_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74: collection-level (repo/source) near-dup via the MinHash union
+    monoid — the fork-detection shape that survives 10^8 repos x 10^7-item
+    vocabularies where the inverted-index join (q_source_overlap) cannot:
+
+      per-file raw minima (the pipeline already computes these)
+        -> elementwise-min merge per source   (operators/repo.merge_minima;
+           MinHash(A u B) = min(MinHash(A), MinHash(B)) coordinate-wise)
+        -> the SAME band keys + skew-managed candidate topology as documents
+           (kernel.band_keys via bands_from_mins_udf -> lsh.candidate_pairs)
+        -> exact vocabulary-Jaccard verify, computed ONLY for candidates
+           (the vocabulary table is semi-joined down to candidate sources
+           before the item equi-join — at scale that is the difference
+           between |candidates| * vocab and |corpus| * vocab join input).
+
+    Per-repo state between stages is 128 longs — no text shuffles, no
+    per-repo item sets on any single node. The exact verify keeps the result
+    oracle-comparable end to end (same move as q_near_dup_pairs): banding at
+    this threshold has recall 1.0 (header note), so Spark output == the
+    brute-force all-pairs SQL. The merge monoid itself is pinned byte-exact
+    in tests/test_repo_dedup.py against kernel minima of the union."""
+    from minhash_spark.functions.udfs import bands_from_mins_udf, minhash_mins_udf
+    from minhash_spark.operators import repo
+    from minhash_spark.operators.collections import collection_overlap
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    mins = minhash_mins_udf(REPO_CFG)
+    per_file = docs.select("source", mins(F.col("text")).alias("mins"))
+    merged = repo.merge_minima(per_file, "source")
+    bands = bands_from_mins_udf(REPO_CFG)
+    sigs = merged.select(
+        F.col("source").alias("rep_id"), bands(F.col("mins")).alias("bands")
+    )
+    buckets = lsh.explode_buckets(sigs)
+    pairs, _overflow = lsh.candidate_pairs(buckets, REPO_CFG.max_bucket_size)
+    cand = (
+        pairs.select(F.col("a_id").alias("source"))
+        .unionByName(pairs.select(F.col("b_id").alias("source")))
+        .distinct()
+    )
+    terms = docs.select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(text, '[0-9A-Za-z_]+', 0)")).alias(
+            "term"
+        ),
+    ).join(F.broadcast(cand), "source", "left_semi")
+    ov = collection_overlap(terms, "source", "term")
+    return (
+        ov.join(
+            pairs.withColumnRenamed("a_id", "a").withColumnRenamed("b_id", "b"),
+            ["a", "b"],
+            "left_semi",
+        )
+        .where(F.col("jaccard") >= REPO_DEDUP_THRESHOLD)
+        .select(
+            F.col("a").alias("a_source"),
+            F.col("b").alias("b_source"),
+            "n_shared",
+            F.col("n_a").alias("n_a_terms"),
+            F.col("n_b").alias("n_b_terms"),
+            "jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X75: per-doc novelty attribution (first-seen n-gram fraction)
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 13  # the dedup literature's span width (Lee et al. 2022 / Dolma)
+
+
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75: per-document novelty — the fraction of a doc's distinct word
+    13-gram spans whose FIRST occurrence (min doc_id over the corpus,
+    ingestion order) is this doc. Duplicate-burden attribution: boilerplate
+    and near-dup copies score ~0 (their spans were already seen), genuinely
+    new text scores ~1. This is the ordered complement of boilerplate_spans
+    (which asks "shared with anyone?" — order-free): novelty charges each
+    duplicated span to the COPIES, not the original, which is exactly the
+    accounting a crawl-ordered retention policy needs (keep first, drop
+    repeats — the Lee et al. 2022 dedup-in-arrival-order rule).
+
+    Scale shape: one groupBy(span).min(doc_id) over the exploded distinct
+    spans (partial-agg: boilerplate spans combiner-reduce per partition;
+    13-gram spans are ~unique otherwise so the exchange is ~|corpus spans|
+    — the same volume every span query here shuffles), one join back on
+    span, one groupBy(doc_id). At production scale the span string is
+    replaced by its 128-bit hash before the shuffle (winnowing ships
+    fingerprints for the same reason); the sandbox keeps strings so the
+    DuckDB oracle sees identical keys."""
+    docs = load(spark, sf_dir, "documents")
+    spans = _doc_spans(docs, NOVELTY_N)
+    first = spans.groupBy("span").agg(F.min("doc_id").alias("first_doc"))
+    joined = spans.join(first, "span")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_spans")).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X76: dedup locality card (ingestion-order distance of verified dup pairs)
+# ---------------------------------------------------------------------------
+
+def q_dedup_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76: how far apart (in doc_id = ingestion order) do verified near-dup
+    partners sit? Binned by decimal digit count of the id distance — the
+    planning card behind the cheapest dedup strategy decision at 100 TB:
+    if most duplicate mass is short-range (same crawl batch), a shard-local
+    or sliding-window pass catches it without any global shuffle, and only
+    the long-range tail needs the full LSH pipeline. (MinHashLSH-based
+    dedup papers report exactly this skew: most dups are near-in-time
+    re-crawls.) Digit-count binning (1 = distance < 10, 2 = 10-99, ...)
+    instead of log10 keeps every value integer-exact on both engines.
+
+    Scale shape: reuses the session's verified edge set (one signature ->
+    LSH -> verify DAG per session, same cache q_near_dup_pairs serves), then
+    a single partial-agg groupBy over <= 19 digit bins."""
+    e = _near_dup_edges(spark, sf_dir)
+    d = e.select(
+        (F.col("b_id") - F.col("a_id")).cast("long").alias("dist"),
+        "jaccard",
+    )
+    return (
+        d.groupBy(F.length(F.col("dist").cast("string")).cast("long").alias("dist_digits"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("dist").alias("min_dist"),
+            F.max("dist").alias("max_dist"),
+            # min/max, not avg: double summation order differs between
+            # engines (partition order vs sequential scan) — only
+            # order-independent aggregates are bit-stable across the gate
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
