@@ -39,9 +39,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # therefore holds (a) entries the driver has never checked (round-5
     # additions), (b) entries whose behavior changes this round (multimodal
     # decode is now real), (c) the 24-query r3 cohort whose newest driver row
-    # is r3, and (d) the load-bearing dedup/ANN core. The 36 r4-green entries
+    # is r3, and (d) the load-bearing dedup/ANN core. The 37 r4-green entries
     # past the window (26 rotated at round start + 7 displaced by the X67-X73
-    # additions + 3 by X74-X76) rotate back next round; all 86 remain covered
+    # additions + 4 by X74-X77) rotate back next round; all 87 remain covered
     # every round by tools/check_oracles.py and pytest.
     return {
         # ---- (c) r3 cohort: newest driver row is r3 — refresh first -------
@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_pairs": Q.q_exact_dup_pairs,
         "near_dup_pairs": Q.q_near_dup_pairs,
         "near_dup_clusters": Q.q_near_dup_clusters,
-        "minhash_signatures": Q.q_minhash_signatures,
         "char_ngram_dup_pairs": Q.q_char_ngram_dup_pairs,
         "containment_dup_pairs": Q.q_containment_dup_pairs,
         "near_dup_cluster_sizes": Q.q_near_dup_cluster_sizes,
@@ -110,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_scores": Q.q_novelty_scores,
         # ingestion-order distance card over verified dup pairs (X76)
         "dedup_locality": Q.q_dedup_locality,
+        # crawl-contamination matrix: verified pairs by source pair (X77)
+        "cross_source_dup_matrix": Q.q_cross_source_dup_matrix,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # r4-green entries below rotate back into the window next round
         # (incl. vocab / pii_scan / dedup_method_agreement / zipf_fit /
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_docs_topk": Q.q_similar_docs_topk,
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
         "embedding_ann_ivf": Q.q_embedding_ann_ivf,
+        "minhash_signatures": Q.q_minhash_signatures,
         "embedding_topk": Q.q_embedding_topk,
         "source_rollup": Q.q_source_rollup,
         "embedding_near_dup_clusters": Q.q_embedding_near_dup_clusters,
@@ -1608,6 +1610,26 @@ def oracle_sql() -> dict[str, str]:
                      / count(*) AS novelty
             FROM s JOIN f USING (span)
             GROUP BY s.doc_id
+        """,
+        # X77 contamination matrix: composed over the near-dup pair oracle
+        # with the (doc_id, source) projection joined on both endpoints;
+        # least/greatest normalization and order-independent min/max keep
+        # every column engine-exact.
+        "cross_source_dup_matrix": f"""
+            WITH p AS ({_NEAR_DUP_PAIRS_SQL}),
+            j AS (
+              SELECT least(da.source, db.source) AS a_source,
+                     greatest(da.source, db.source) AS b_source,
+                     p.jaccard
+              FROM p
+              JOIN documents da ON da.doc_id = p.a_id
+              JOIN documents db ON db.doc_id = p.b_id
+            )
+            SELECT a_source, b_source,
+                   count(*)::BIGINT AS n_pairs,
+                   min(jaccard) AS min_jaccard,
+                   max(jaccard) AS max_jaccard
+            FROM j GROUP BY a_source, b_source
         """,
         # X76 locality card: composed over the near-dup pair oracle; digit
         # binning and min/max keep every output column engine-exact (the

@@ -87,6 +87,7 @@ SESSION_CACHED = {
     "dedup_skew_report_docs", "threshold_sweep_docs", "cluster_assign_docs",
     "method_agreement_docs", "dedup_rewrite_docs", "dedup_growth_curve_docs",
     "source_dedup_report_docs", "dedup_locality_docs",
+    "cross_source_dup_matrix_docs",
 }
 
 
@@ -282,6 +283,7 @@ def main():
     timed("repo_signature_dedup_docs", lambda: Q.q_repo_signature_dedup(spark, sf_dir))
     timed("novelty_scores_docs", lambda: Q.q_novelty_scores(spark, sf_dir))
     timed("dedup_locality_docs", lambda: Q.q_dedup_locality(spark, sf_dir))
+    timed("cross_source_dup_matrix_docs", lambda: Q.q_cross_source_dup_matrix(spark, sf_dir))
 
     # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
     # reported min), so the comparable "first-run" total keeps the pipeline
@@ -309,7 +311,7 @@ def main():
         "decontaminate_bloom_docs", "audio_fingerprint_docs",
         "training_order_docs", "video_fingerprint_docs",
         "repo_signature_dedup_docs", "novelty_scores_docs",
-        "dedup_locality_docs",
+        "dedup_locality_docs", "cross_source_dup_matrix_docs",
     }
     total_first_r3cmp = round(
         sum(

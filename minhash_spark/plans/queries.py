@@ -3468,3 +3468,45 @@ def q_dedup_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X77: cross-source duplication matrix (verified pairs by source pair)
+# ---------------------------------------------------------------------------
+
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77: verified near-dup pairs rolled up by (source_a, source_b) — the
+    crawl-contamination matrix. source_overlap (X37) asks "do these crawls
+    share vocabulary?"; this asks the sharper question "how many VERIFIED
+    duplicate documents cross each source boundary?" — the number that
+    decides which upstream feed is re-crawling which, and how much a new
+    source actually adds before you pay to ingest it. Diagonal rows
+    ((s, s)) are within-source redundancy; off-diagonal rows are true
+    cross-feed duplication.
+
+    Scale shape: reuses the session's verified edge set, two broadcast-sized
+    joins to attach sources (at 10^12 rows: sort-merge on doc_id against the
+    slim (doc_id, source) projection — still shuffle-bounded by |edges|, not
+    |corpus|), pair normalized with least/greatest so the matrix is upper
+    triangular, then one partial-agg groupBy over <= n_sources^2 keys with
+    order-independent jaccard stats (min/max — the avg-of-doubles trap,
+    see q_dedup_locality)."""
+    e = _near_dup_edges(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        e.join(src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")), "a_id")
+        .join(src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")), "b_id")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("a_source"),
+            F.greatest("sa", "sb").alias("b_source"),
+            "jaccard",
+        )
+        .groupBy("a_source", "b_source")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

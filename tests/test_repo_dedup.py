@@ -143,3 +143,58 @@ def test_dedup_locality_accounts_for_every_edge(spark):
         assert len(str(r["max_dist"])) == r["dist_digits"]
         assert r["min_dist"] <= r["max_dist"]
         assert 0 < r["min_jaccard"] <= r["max_jaccard"] <= 1.0
+
+
+def test_merge_minima_incremental_equals_full(spark):
+    """The monoid gives O(delta) daily repo-signature maintenance: merging
+    yesterday's MERGED minima with today's delta-file minima equals a full
+    recompute over all files — pinned byte-exact. (This is the X62/X66
+    carry-forward story at collection granularity, for free by algebra.)"""
+    from minhash_spark.functions.udfs import minhash_mins_udf
+
+    cfg = Q.REPO_CFG
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    day1 = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    mins = minhash_mins_udf(cfg)
+
+    def per_file(df):
+        return df.select("source", mins(F.col("text")).alias("mins"))
+
+    full = {
+        r["source"]: list(r["mins"])
+        for r in merge_minima(per_file(docs), "source").collect()
+    }
+    carried = merge_minima(per_file(day1), "source").unionByName(
+        merge_minima(per_file(delta), "source")
+    )
+    incr = {
+        r["source"]: list(r["mins"])
+        for r in merge_minima(carried, "source").collect()
+    }
+    assert incr == full
+
+
+def test_cross_source_dup_matrix_accounts_for_every_edge(spark):
+    pairs = Q.q_near_dup_pairs(spark, SF).collect()
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    card = Q.q_cross_source_dup_matrix(spark, SF).collect()
+    assert sum(r["n_pairs"] for r in card) == len(pairs)
+    # recompute the matrix directly from the pair list
+    from collections import Counter
+
+    want = Counter(
+        tuple(sorted((src[p["a_id"]], src[p["b_id"]])) ) for p in pairs
+    )
+    got = {(r["a_source"], r["b_source"]): r["n_pairs"] for r in card}
+    assert got == dict(want)
+    for r in card:
+        assert r["a_source"] <= r["b_source"]
+        assert 0.8 <= r["min_jaccard"] <= r["max_jaccard"] <= 1.0
