@@ -3350,11 +3350,18 @@ def q_repo_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_file = docs.select("source", mins(F.col("text")).alias("mins"))
     merged = repo.merge_minima(per_file, "source")
     bands = bands_from_mins_udf(REPO_CFG)
+    # barriers on the two multi-consumer lineages: candidate_pairs consumes
+    # buckets four ways (sizes / both join sides / star reps) and pairs is
+    # consumed twice (candidate-source set + the final semi-join) — without
+    # materialization Catalyst re-executes the scan -> kernel UDF -> merge
+    # subtree once PER consumer (measured: 25 ReadSchema in the un-barriered
+    # plan), which at 10^12 files is ~25 kernel passes instead of one
     sigs = merged.select(
         F.col("source").alias("rep_id"), bands(F.col("mins")).alias("bands")
-    )
+    ).transform(verify.barrier)
     buckets = lsh.explode_buckets(sigs)
     pairs, _overflow = lsh.candidate_pairs(buckets, REPO_CFG.max_bucket_size)
+    pairs = pairs.transform(verify.barrier)
     cand = (
         pairs.select(F.col("a_id").alias("source"))
         .unionByName(pairs.select(F.col("b_id").alias("source")))

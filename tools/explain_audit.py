@@ -65,6 +65,9 @@ AUDITED = [
     "mixture_weights",
     "training_order",
     "decontaminate_bloom",
+    # X75: one exchange on span (partial-agg min), one join back, one
+    # exchange on doc_id — no windows, no driver state
+    "novelty_scores",
 ]
 
 # Queries whose steady-state plan is a lineage-truncated Scan ExistingRDD
@@ -86,6 +89,14 @@ BUILD_AUDITED = [
     # X68: barrier sits on the tokenized frame; build mode shows the scan ->
     # tokenize -> broadcast offsets join -> per-bucket window prefix sum
     "sequence_packing",
+    # X76/X77: edge-cache consumers; build mode keeps the full
+    # signature -> band join -> verify DAG under the locality/matrix aggs
+    "dedup_locality",
+    "cross_source_dup_matrix",
+    # X74: barriers sit on the merged band table and the candidate pairs
+    # (both multi-consumer); build mode shows the partial-agg (grp, pos)
+    # min merge, the band self-join, and the broadcast candidate semi-join
+    "repo_signature_dedup",
 ]
 
 CHECKS = {
