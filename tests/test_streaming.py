@@ -406,3 +406,65 @@ def test_streaming_embedding_dedup_matches_batch(spark, tmp_path):
         for r in Q.q_embedding_near_dup_clusters(spark, batch_dir).collect()
     }
     assert stream_clusters == batch_clusters
+
+
+def test_repo_state_stream_matches_batch_and_replay(spark, tmp_path):
+    """X78 streaming repo sketches: after two drained drops the state equals
+    a batch merge_minima over ALL files (the monoid says it must); folding
+    the same batch twice (at-least-once replay) changes nothing."""
+    from minhash_spark.operators.repo import merge_minima
+    from minhash_spark.streaming.collections import (
+        repo_signatures,
+        run_repo_signature_stream,
+        update_repo_state,
+    )
+
+    rcfg = MinHashConfig(seed=0, size=128, bit=1, tokenizer="word")
+    inp, state, ckpt = (str(tmp_path / d) for d in ("in", "state", "ckpt"))
+    b1 = [
+        ("ra", "f1", "c", "py", "alpha beta gamma"),
+        ("rb", "f1", "c", "py", "delta epsilon"),
+    ]
+    b2 = [
+        ("ra", "f2", "c", "py", "gamma zeta"),
+        ("rc", "f1", "c", "py", "eta theta iota"),
+    ]
+    _write_batch(spark, inp, b1)
+    run_repo_signature_stream(spark, inp, state, ckpt, rcfg)
+    _write_batch(spark, inp, b2)
+    run_repo_signature_stream(spark, inp, state, ckpt, rcfg)
+
+    got = {r["repo"]: list(r["mins"]) for r in repo_signatures(spark, state).collect()}
+
+    from minhash_spark.functions.udfs import minhash_mins_udf
+
+    all_files = spark.createDataFrame(
+        b1 + b2,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    mins = minhash_mins_udf(rcfg)
+    want = {
+        r["repo"]: list(r["mins"])
+        for r in merge_minima(
+            all_files.select("repo", mins(F.col("content")).alias("mins")), "repo"
+        ).collect()
+    }
+    assert got == want
+
+    # at-least-once replay: re-fold batch 2 directly — state unchanged
+    update_repo_state(
+        spark,
+        spark.createDataFrame(
+            b2, "repo string, path string, commit string, lang string, content string"
+        ),
+        state,
+        rcfg,
+    )
+    again = {r["repo"]: list(r["mins"]) for r in repo_signatures(spark, state).collect()}
+    assert again == want
+
+    # idempotent drain: nothing new in the landing dir -> state unchanged
+    run_repo_signature_stream(spark, inp, state, ckpt, rcfg)
+    assert {
+        r["repo"]: list(r["mins"]) for r in repo_signatures(spark, state).collect()
+    } == want
