@@ -20,6 +20,7 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 from pyspark.sql import DataFrame, SparkSession
 
+from minhash_spark.operators import clones as _clones
 from minhash_spark.operators import media as _media
 from minhash_spark.plans import queries as Q
 
@@ -41,7 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # decode is now real), (c) the 24-query r3 cohort whose newest driver row
     # is r3, and (d) the load-bearing dedup/ANN core. The 37 r4-green entries
     # past the window (26 rotated at round start + 7 displaced by the X67-X73
-    # additions + 4 by X74-X77) rotate back next round; all 87 remain covered
+    # additions + 4 by X74-X77 + 2 by X79) rotate back next round; all 89 stay covered
     # every round by tools/check_oracles.py and pytest.
     return {
         # ---- (c) r3 cohort: newest driver row is r3 — refresh first -------
@@ -82,8 +83,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_cluster_sizes": Q.q_near_dup_cluster_sizes,
         "dedup_summary": Q.q_dedup_summary,
         "dedup_skew_report": Q.q_dedup_skew_report,
-        "cluster_assign": Q.q_cluster_assign,
-        "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
         # ---- (a) round-5 additions (never driver-checked) -----------------
         # bit_string:true surface parity (rows-only: murmur bytes)
         "minhash_bitstrings": Q.q_minhash_bitstrings,
@@ -111,14 +110,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_locality": Q.q_dedup_locality,
         # crawl-contamination matrix: verified pairs by source pair (X77)
         "cross_source_dup_matrix": Q.q_cross_source_dup_matrix,
+        # type-1/type-2 clone keys + cluster sizes, one-pattern-list oracle (X79)
+        "normalized_clones": Q.q_normalized_clones,
+        # type-2 clone-cluster cards: rename forks a raw-sha dedup misses (X79)
+        "clone_forks": Q.q_clone_forks,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # r4-green entries below rotate back into the window next round
         # (incl. vocab / pii_scan / dedup_method_agreement / zipf_fit /
         # embedding_near_dup_clusters / source_rollup / embedding_topk,
         # displaced by the X67-X76 additions, and similar_docs_topk /
         # embedding_ann_lsh / embedding_ann_ivf displaced by X74-X76 — all
-        # three carry hard pytest recall/contract gates); until then
+        # three carry hard pytest recall/contract gates, as do cluster_assign
+        # / embedding_near_dup_pairs displaced by the X79 pair); until then
         # tools/check_oracles.py + pytest keep them covered.
+        "cluster_assign": Q.q_cluster_assign,
+        "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
         "similar_docs_topk": Q.q_similar_docs_topk,
         "embedding_ann_lsh": Q.q_embedding_ann_lsh,
         "embedding_ann_ivf": Q.q_embedding_ann_ivf,
@@ -1644,5 +1650,38 @@ def oracle_sql() -> dict[str, str]:
                    min(jaccard) AS min_jaccard,
                    max(jaccard) AS max_jaccard
             FROM d GROUP BY length(dist::VARCHAR)
+        """,
+        # X79: the normalization chains are rendered into this SQL from the
+        # SAME (pattern, replacement) lists the Spark query compiles
+        # (operators/clones.py) — the two engines cannot desync on pattern
+        # text; equality of the sha256 keys proves the rendered regex
+        # semantics agree byte-for-byte.
+        "normalized_clones": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     sha256({_clones.duckdb_expr("text", _clones.TYPE1_CHAIN)}) AS t1_sha,
+                     sha256({_clones.duckdb_expr("text", _clones.TYPE2_CHAIN)}) AS t2_sha
+              FROM documents
+            )
+            SELECT doc_id, t1_sha, t2_sha,
+                   count(*) OVER (PARTITION BY t1_sha)::BIGINT AS t1_size,
+                   count(*) OVER (PARTITION BY t2_sha)::BIGINT AS t2_size
+            FROM k
+        """,
+        "clone_forks": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     sha256({_clones.duckdb_expr("text", _clones.TYPE1_CHAIN)}) AS t1_sha,
+                     sha256({_clones.duckdb_expr("text", _clones.TYPE2_CHAIN)}) AS t2_sha,
+                     sha256(text) AS raw_sha
+              FROM documents
+            )
+            SELECT t2_sha AS cluster_sha,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT t1_sha)::BIGINT AS n_layout_variants,
+                   count(DISTINCT raw_sha)::BIGINT AS n_raw_variants,
+                   min(doc_id)::BIGINT AS rep_doc_id
+            FROM k GROUP BY t2_sha
+            HAVING count(*) >= 2
         """,
     }

@@ -284,6 +284,8 @@ def main():
     timed("novelty_scores_docs", lambda: Q.q_novelty_scores(spark, sf_dir))
     timed("dedup_locality_docs", lambda: Q.q_dedup_locality(spark, sf_dir))
     timed("cross_source_dup_matrix_docs", lambda: Q.q_cross_source_dup_matrix(spark, sf_dir))
+    timed("normalized_clones_docs", lambda: Q.q_normalized_clones(spark, sf_dir))
+    timed("clone_forks_docs", lambda: Q.q_clone_forks(spark, sf_dir))
 
     # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
     # reported min), so the comparable "first-run" total keeps the pipeline
@@ -312,6 +314,7 @@ def main():
         "training_order_docs", "video_fingerprint_docs",
         "repo_signature_dedup_docs", "novelty_scores_docs",
         "dedup_locality_docs", "cross_source_dup_matrix_docs",
+        "normalized_clones_docs", "clone_forks_docs",
     }
     total_first_r3cmp = round(
         sum(

@@ -3517,3 +3517,74 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+def q_normalized_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79a: per-document type-1 / type-2 clone keys + cluster sizes — the
+    clone-detection ladder between exact dedup (X1) and MinHash near-dup
+    (X2). t1 = layout/comment-insensitive sha256, t2 = identifier/literal-
+    abstracted sha256 (SourcererCC's type-2: a globally-renamed copy of a
+    file collapses to the same t2 key while keeping a distinct t1 key).
+    The normalization chains live in operators/clones.py and render to BOTH
+    engines from one pattern list, so the DuckDB oracle is byte-identical
+    by construction.
+
+    Scale shape: normalization + sha256 is a pure native map fused into the
+    scan (whole-stage codegen, no UDF); the two cluster sizes are window
+    counts — two hash exchanges on 64-hex keys, no sort-order dependence,
+    partial-agg-friendly. At 10^12 files you'd shuffle unhex(sha) (32
+    bytes) instead of hex; plan shape unchanged."""
+    from pyspark.sql.window import Window
+
+    from minhash_spark.operators.clones import clone_keys
+
+    docs = load(spark, sf_dir, "documents")
+    keys = clone_keys(F.col("text"))
+    keyed = docs.select("doc_id", keys["t1_sha"].alias("t1_sha"), keys["t2_sha"].alias("t2_sha"))
+    w1 = Window.partitionBy("t1_sha")
+    w2 = Window.partitionBy("t2_sha")
+    return keyed.select(
+        "doc_id",
+        "t1_sha",
+        "t2_sha",
+        F.count("*").over(w1).cast("long").alias("t1_size"),
+        F.count("*").over(w2).cast("long").alias("t2_size"),
+    )
+
+
+def q_clone_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79b: type-2 clone-cluster cards — for every identifier-abstracted
+    (t2) cluster with >= 2 documents, how many layout variants (distinct t1
+    keys) and raw byte variants it contains, plus a deterministic
+    representative. n_layout_variants > 1 means the cluster holds true
+    RENAME forks (same structure, different identifiers/literals) — the
+    copies a raw-sha dedup can never see and a MinHash pass only catches
+    when the rename is small; n_raw_variants > n_layout_variants means
+    additional comment/whitespace-only forks. This is the data card that
+    says what fraction of "unique" files are actually mechanical forks
+    before you pay for the full near-dup run.
+
+    Scale shape: one map (the X79 keys), one partial-agg groupBy on t2_sha
+    (count + count-distinct + min — all partial-aggregable), HAVING
+    filter. Single shuffle bounded by |corpus|, output bounded by cluster
+    count."""
+    from minhash_spark.operators.clones import clone_keys
+
+    docs = load(spark, sf_dir, "documents")
+    keys = clone_keys(F.col("text"))
+    keyed = docs.select(
+        "doc_id",
+        keys["t1_sha"].alias("t1_sha"),
+        keys["t2_sha"].alias("t2_sha"),
+        F.sha2(F.col("text"), 256).alias("raw_sha"),
+    )
+    return (
+        keyed.groupBy(F.col("t2_sha").alias("cluster_sha"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("t1_sha").cast("long").alias("n_layout_variants"),
+            F.countDistinct("raw_sha").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
