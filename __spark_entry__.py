@@ -75,13 +75,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": Q.q_multimodal_frames,
         # ---- (d) load-bearing dedup/ANN core (r4-green, kept fresh) -------
         "exact_dup_clusters": Q.q_exact_dup_clusters,
-        "exact_dup_pairs": Q.q_exact_dup_pairs,
         "near_dup_pairs": Q.q_near_dup_pairs,
         "near_dup_clusters": Q.q_near_dup_clusters,
         "char_ngram_dup_pairs": Q.q_char_ngram_dup_pairs,
         "containment_dup_pairs": Q.q_containment_dup_pairs,
-        "near_dup_cluster_sizes": Q.q_near_dup_cluster_sizes,
-        "dedup_summary": Q.q_dedup_summary,
         "dedup_skew_report": Q.q_dedup_skew_report,
         # ---- (a) round-5 additions (never driver-checked) -----------------
         # bit_string:true surface parity (rows-only: murmur bytes)
@@ -114,6 +111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_clones": Q.q_normalized_clones,
         # type-2 clone-cluster cards: rename forks a raw-sha dedup misses (X79)
         "clone_forks": Q.q_clone_forks,
+        # verified-graph degree histogram, composed pair oracle (X80)
+        "dup_graph_degree": Q.q_dup_graph_degree,
+        # per-source token savings under the representative keep policy (X81)
+        "dedup_token_savings": Q.q_dedup_token_savings,
+        # BPE-merge-step adjacent-pair counts, top-K both engines (X82)
+        "bpe_pair_stats": Q.q_bpe_pair_stats,
         # ---- driver window boundary (first 50 dict entries) ---------------
         # r4-green entries below rotate back into the window next round
         # (incl. vocab / pii_scan / dedup_method_agreement / zipf_fit /
@@ -121,8 +124,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by the X67-X76 additions, and similar_docs_topk /
         # embedding_ann_lsh / embedding_ann_ivf displaced by X74-X76 — all
         # three carry hard pytest recall/contract gates, as do cluster_assign
-        # / embedding_near_dup_pairs displaced by the X79 pair); until then
-        # tools/check_oracles.py + pytest keep them covered.
+        # / embedding_near_dup_pairs displaced by the X79 pair, and
+        # exact_dup_pairs / near_dup_cluster_sizes / dedup_summary displaced
+        # by X80-X82 — the dup-pair/cluster DAG those three report over
+        # stays driver-exercised via near_dup_pairs/clusters + the composed
+        # X80/X81 oracles); until then tools/check_oracles.py + pytest keep
+        # them covered.
+        "exact_dup_pairs": Q.q_exact_dup_pairs,
+        "near_dup_cluster_sizes": Q.q_near_dup_cluster_sizes,
+        "dedup_summary": Q.q_dedup_summary,
         "cluster_assign": Q.q_cluster_assign,
         "embedding_near_dup_pairs": Q.q_embedding_near_dup_pairs,
         "similar_docs_topk": Q.q_similar_docs_topk,
@@ -388,6 +398,71 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT cluster_id) FROM clusters) AS n_clusters,
                    round((SELECT count(DISTINCT cluster_id) FROM clusters)::DOUBLE
                          / (SELECT count(*) FROM documents), 6) AS kept_ratio
+        """,
+        # X80: composed over the SAME brute-force pair SQL — a missed or
+        # phantom verified edge shifts a degree bucket, so the histogram is
+        # a full topology check of the edge DAG, not just a count.
+        "dup_graph_degree": f"""
+            WITH pairs AS ({_NEAR_DUP_PAIRS_SQL}),
+            und AS (
+              SELECT a_id AS doc_id FROM pairs
+              UNION ALL
+              SELECT b_id AS doc_id FROM pairs
+            ),
+            deg AS (
+              SELECT doc_id, count(*)::BIGINT AS degree FROM und GROUP BY doc_id
+            )
+            SELECT degree, count(*)::BIGINT AS n_docs FROM deg GROUP BY degree
+        """,
+        # X81: recursive-CTE clusters + the X3 representative policy (max
+        # n_chars, ties min doc_id) + the token_counts whitespace measure —
+        # all three reused verbatim so the card cannot drift from its parts.
+        "dedup_token_savings": f"""
+            WITH clusters AS ({_NEAR_DUP_CLUSTERS_SQL}),
+            d AS (
+              SELECT doc_id, source, n_chars,
+                     len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            j AS (
+              SELECT d.doc_id, d.source, d.n_chars, d.n_tokens, c.cluster_id
+              FROM d JOIN clusters c USING (doc_id)
+            ),
+            reps AS (
+              SELECT source, n_tokens FROM j
+              QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY n_chars DESC, doc_id) = 1
+            ),
+            kept AS (
+              SELECT source, count(*)::BIGINT AS n_kept,
+                     sum(n_tokens)::BIGINT AS tokens_kept
+              FROM reps GROUP BY source
+            ),
+            tot AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(n_tokens)::BIGINT AS tokens_total
+              FROM j GROUP BY source
+            )
+            SELECT tot.source, n_docs,
+                   coalesce(n_kept, 0)::BIGINT AS n_kept,
+                   tokens_total,
+                   coalesce(tokens_kept, 0)::BIGINT AS tokens_kept,
+                   (tokens_total - coalesce(tokens_kept, 0))::BIGINT AS tokens_saved
+            FROM tot LEFT JOIN kept USING (source)
+        """,
+        # X82: same word-token domain as the near-dup oracle; K interpolated
+        # from the one Spark-side constant so the engines cannot desync.
+        "bpe_pair_stats": f"""
+            WITH t AS (
+              SELECT regexp_extract_all(text, '[0-9A-Za-z_]+') AS w FROM documents
+            ),
+            p AS (
+              SELECT unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i + 1])) AS pair
+              FROM t WHERE len(w) >= 2
+            )
+            SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY pair
+            ORDER BY n DESC, pair LIMIT {Q.BPE_PAIR_TOP_K}
         """,
         "dedup_skew_report": f"""
             WITH t AS (

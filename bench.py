@@ -286,6 +286,9 @@ def main():
     timed("cross_source_dup_matrix_docs", lambda: Q.q_cross_source_dup_matrix(spark, sf_dir))
     timed("normalized_clones_docs", lambda: Q.q_normalized_clones(spark, sf_dir))
     timed("clone_forks_docs", lambda: Q.q_clone_forks(spark, sf_dir))
+    timed("dup_graph_degree_docs", lambda: Q.q_dup_graph_degree(spark, sf_dir))
+    timed("dedup_token_savings_docs", lambda: Q.q_dedup_token_savings(spark, sf_dir))
+    timed("bpe_pair_stats_docs", lambda: Q.q_bpe_pair_stats(spark, sf_dir))
 
     # rounds 1-2 summed the pipeline's BEST-of-N wall (run_pipeline always
     # reported min), so the comparable "first-run" total keeps the pipeline
@@ -298,9 +301,9 @@ def main():
         2,
     )
     total_min = round(sum(t["min"] for t in timings.values()), 2)
-    # like-for-like round comparison: the suite GREW in rounds 4-5 (22 new
-    # queries), so the headline total is not comparable to BENCH_r03 — this
-    # subtotal restricts to the round-3 query set
+    # like-for-like round comparison: the suite GREW in rounds 4-5 (every
+    # entry in post_r3 below), so the headline total is not comparable to
+    # BENCH_r03 — this subtotal restricts to the round-3 query set
     post_r3 = {
         "shard_manifest_docs", "dedup_rewrite_docs", "word_entropy_docs",
         "threshold_sweep_docs", "quality_weighted_docs", "length_histogram_docs",
@@ -315,6 +318,8 @@ def main():
         "repo_signature_dedup_docs", "novelty_scores_docs",
         "dedup_locality_docs", "cross_source_dup_matrix_docs",
         "normalized_clones_docs", "clone_forks_docs",
+        "dup_graph_degree_docs", "dedup_token_savings_docs",
+        "bpe_pair_stats_docs",
     }
     total_first_r3cmp = round(
         sum(

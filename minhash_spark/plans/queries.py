@@ -3588,3 +3588,132 @@ def q_clone_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# X80: dup-graph degree histogram (topology card over verified edges)
+# ---------------------------------------------------------------------------
+
+def q_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80: degree histogram of the verified near-dup graph — for each degree
+    d, how many documents have exactly d verified duplicate partners. The
+    topology card behind two production decisions: (1) a heavy high-degree
+    tail means boilerplate hubs, i.e. the LSH star cap and the boilerplate-
+    span pass (X17) are load-bearing, not defensive; (2) a mass at degree 1
+    means pairwise re-uploads, where cluster representatives (X3) lose
+    almost nothing. Mirrors the bucket-size histogram (X47) one stage later:
+    X47 profiles CANDIDATE skew before verification, this profiles the
+    VERIFIED graph the connected-components stage actually consumes — the
+    degree distribution bounds large-star iteration count at 100 TB.
+
+    Scale shape: reuses the session's verified edge DAG (same cache
+    q_near_dup_pairs serves — marginal cost is the rollup only), one
+    endpoint union (narrow, no shuffle), one partial-agg groupBy(doc_id)
+    bounded by |edges|, one partial-agg groupBy(degree) over <= max-degree
+    groups. Nothing corpus-sized moves."""
+    e = _near_dup_edges(spark, sf_dir)
+    endpoints = e.select(F.col("a_id").alias("doc_id")).unionAll(
+        e.select(F.col("b_id").alias("doc_id"))
+    )
+    deg = endpoints.groupBy("doc_id").agg(F.count("*").cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# X81: dedup token-savings card (the business metric of the whole pipeline)
+# ---------------------------------------------------------------------------
+
+def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81: per-source training-token accounting under the keep-one-
+    representative-per-cluster policy — the number the dedup run is actually
+    FOR: how many tokens does each upstream feed contribute before and after
+    near-dup collapse. tokens_saved is compute not spent training on
+    duplicates; a source whose tokens_saved/tokens_total is high is re-
+    crawling content other feeds already delivered (cross-check: X77's
+    contamination matrix says WHO it duplicates). Representative policy is
+    identical to cluster_representatives (X3): max n_chars, ties to min
+    doc_id — so this card is exactly the token mass that query's output
+    retains. Token measure is whitespace tokens, identical to token_counts.
+
+    Scale shape: cluster ids from the session CC (edge DAG cached), then TWO
+    partial-agg groupBys — per-cluster argmin-of-struct (combiner-reduced to
+    <= |clusters| rows, the X3 shape; representative's source/tokens ride in
+    the struct so there is NO corpus-sized join back) and per-source totals
+    — joined on the tiny |sources| key set. No window, no broadcast of
+    anything corpus-sized."""
+    clusters = q_near_dup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text", "n_chars")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    d = docs.select("doc_id", "source", n_tokens.alias("n_tokens"), "n_chars").join(
+        clusters, "doc_id"
+    )
+    # lexicographic struct min == (max n_chars, then min doc_id); the
+    # representative's source and token count ride along in trailing fields
+    # (doc_id is unique, so they never participate in the ordering)
+    key = F.struct(
+        (-F.col("n_chars")).alias("neg"),
+        F.col("doc_id").alias("d"),
+        F.col("source").alias("s"),
+        F.col("n_tokens").alias("t"),
+    )
+    reps = d.groupBy("cluster_id").agg(F.min(key).alias("k"))
+    kept = reps.groupBy(F.col("k.s").alias("source")).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("k.t").cast("long").alias("tokens_kept"),
+    )
+    totals = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+    return totals.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        "tokens_total",
+        F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("long").alias("tokens_kept"),
+        (F.col("tokens_total") - F.coalesce(F.col("tokens_kept"), F.lit(0)))
+        .cast("long")
+        .alias("tokens_saved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X82: BPE-style adjacent-pair statistics (tokenizer-induction first step)
+# ---------------------------------------------------------------------------
+
+BPE_PAIR_TOP_K = 50
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82: corpus-wide adjacent word-token pair counts, top-K — exactly the
+    statistic one BPE/WordPiece merge iteration maximizes, lifted from
+    subword to word granularity (the sandbox corpus is word-synthesized, so
+    word pairs are the live domain). Training a tokenizer on the deduped
+    corpus IS a 100 TB groupBy problem — this card is its unit step, and
+    doubles as a collocation/boilerplate-phrase detector (top pairs in a
+    code corpus are license-header phrases; cross-check X23 common_spans).
+    Tokens are the dedup tokenizer's word domain ([0-9A-Za-z_]+ — identical
+    to the near-dup oracle's), so the card describes the same token stream
+    the signatures hash.
+
+    Scale shape: pair construction is IN-ROW (transform over sequence — no
+    self-join, no window, no shuffle to form pairs), then one partial-agg
+    groupBy(pair) — adjacent pairs repeat heavily so the map-side combiner
+    does the heavy reduction — and a TakeOrderedAndProject top-K (per-
+    partition heaps, never a global sort). At 10^12 files the pair string
+    would be replaced by its 128-bit hash pre-shuffle with a second tiny
+    pass recovering the K strings; the sandbox keeps strings so the oracle
+    sees identical keys (same tradeoff novelty_scores documents)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit("[0-9A-Za-z_]+"), F.lit(0))
+    d = docs.select(toks.alias("w")).where(F.size("w") >= 2)
+    pairs = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1]),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("pair")).limit(BPE_PAIR_TOP_K)

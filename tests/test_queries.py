@@ -1290,3 +1290,79 @@ def test_video_fingerprint_dedup_group_structure(spark):
             assert r["min_ham"] == 0
         elif r["min_ham"] is not None:
             assert 1 <= r["min_ham"] <= media.PHASH_HAM_MAX
+
+
+def test_dup_graph_degree_accounts_every_edge(spark):
+    """X80: the degree histogram must account every verified edge exactly
+    twice (two endpoints), and its doc mass must equal the number of
+    distinct docs appearing in the pair list — the histogram is a lossless
+    rollup of the edge DAG, not an estimate."""
+    edges = Q.q_near_dup_pairs(spark, SF).collect()
+    hist = Q.q_dup_graph_degree(spark, SF).collect()
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * len(edges)
+    docs_in_edges = {r["a_id"] for r in edges} | {r["b_id"] for r in edges}
+    assert sum(r["n_docs"] for r in hist) == len(docs_in_edges)
+    assert all(r["degree"] >= 1 for r in hist)
+    # recompute the histogram from the raw pair list (independent path)
+    from collections import Counter
+
+    deg = Counter()
+    for r in edges:
+        deg[r["a_id"]] += 1
+        deg[r["b_id"]] += 1
+    want = Counter(deg.values())
+    got = {r["degree"]: r["n_docs"] for r in hist}
+    assert got == dict(want)
+
+
+def test_dedup_token_savings_consistent_with_representatives(spark):
+    """X81: per-source identities — savings = total - kept, every doc
+    counted once, and the kept set is EXACTLY the cluster-representative
+    set (same keep policy as q_cluster_representatives)."""
+    rows = Q.q_dedup_token_savings(spark, SF).collect()
+    assert rows, "empty savings card"
+    for r in rows:
+        assert r["tokens_saved"] == r["tokens_total"] - r["tokens_kept"]
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["tokens_kept"] <= r["tokens_total"]
+    docs_total = sum(r["n_docs"] for r in rows)
+    assert docs_total == Q.load(spark, SF, "documents").count()
+    # global kept count == number of clusters (one representative each)
+    n_clusters = (
+        Q.q_near_dup_clusters(spark, SF).select("cluster_id").distinct().count()
+    )
+    assert sum(r["n_kept"] for r in rows) == n_clusters
+    # and the representative policy is the X3 one: kept token mass equals
+    # the token mass of q_cluster_representatives' doc set
+    from pyspark.sql import functions as F
+
+    reps = {r["rep_doc_id"] for r in Q.q_cluster_representatives(spark, SF).collect()}
+    docs = Q.load(spark, SF, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("t"),
+    ).collect()
+    kept_mass = sum(r["t"] for r in tok if r["doc_id"] in reps)
+    assert sum(r["tokens_kept"] for r in rows) == kept_mass
+
+
+def test_bpe_pair_stats_matches_python_recount(spark):
+    """X82: top-K adjacent-pair counts pinned against a direct Python
+    recount over the same token regex, including the deterministic
+    (n desc, pair asc) boundary tie-break."""
+    import re
+    from collections import Counter
+
+    rows = Q.q_bpe_pair_stats(spark, SF).collect()
+    assert len(rows) == Q.BPE_PAIR_TOP_K
+    texts = [r["text"] for r in Q.load(spark, SF, "documents").select("text").collect()]
+    c: Counter = Counter()
+    for t in texts:
+        w = re.findall(r"[0-9A-Za-z_]+", t)
+        for i in range(len(w) - 1):
+            c[f"{w[i]} {w[i + 1]}"] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: Q.BPE_PAIR_TOP_K]
+    got = sorted(
+        ((r["pair"], r["n"]) for r in rows), key=lambda kv: (-kv[1], kv[0])
+    )
+    assert got == want

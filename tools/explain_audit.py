@@ -68,6 +68,12 @@ AUDITED = [
     # X75: one exchange on span (partial-agg min), one join back, one
     # exchange on doc_id — no windows, no driver state
     "novelty_scores",
+    # X81: two partial-agg groupBys joined on |sources| keys — the rep's
+    # source/tokens ride in the argmin struct, so no corpus-sized join back
+    "dedup_token_savings",
+    # X82: in-row pair transform -> partial-agg groupBy ->
+    # TakeOrderedAndProject (no global sort, no self-join)
+    "bpe_pair_stats",
 ]
 
 # Queries whose steady-state plan is a lineage-truncated Scan ExistingRDD
@@ -97,6 +103,9 @@ BUILD_AUDITED = [
     # (both multi-consumer); build mode shows the partial-agg (grp, pos)
     # min merge, the band self-join, and the broadcast candidate semi-join
     "repo_signature_dedup",
+    # X80: edge-cache consumer; build mode keeps the signature -> band join
+    # -> verify DAG under the endpoint-union + two-level degree rollup
+    "dup_graph_degree",
 ]
 
 CHECKS = {
