@@ -25,7 +25,7 @@ sys.path.insert(0, _ROOT)
 os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
-def build_profile(spark, sf_dir: str) -> dict:
+def build_profile(spark, sf_dir: str, dedup_cards: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from minhash_spark.plans import queries as Q
@@ -46,6 +46,17 @@ def build_profile(spark, sf_dir: str) -> dict:
         .collect()
     ]
     zipf = Q.q_zipf_fit(spark, sf_dir).collect()[0].asDict()
+    dedup: dict = {}
+    if dedup_cards:
+        # opt-in: these three consume the verified near-dup edge DAG, so the
+        # card's cost jumps from "a few partial-agg scans" to "one full
+        # signature -> LSH -> verify pass" (cached across the three) — the
+        # default card stays cheap, a release card pays for the dedup story
+        dedup = {
+            "token_savings": rows(Q.q_dedup_token_savings(spark, sf_dir), ["source"]),
+            "dup_graph_degree": rows(Q.q_dup_graph_degree(spark, sf_dir), ["degree"]),
+            "dup_locality": rows(Q.q_dedup_locality(spark, sf_dir), ["dist_digits"]),
+        }
     return {
         "input": sf_dir,
         "n_docs": sum(s["n_docs"] for s in shards),
@@ -57,6 +68,7 @@ def build_profile(spark, sf_dir: str) -> dict:
         "source_profiles": sources,
         "quality_tier_kept": tier_mix,
         "zipf": zipf,
+        **({"dedup": dedup} if dedup_cards else {}),
     }
 
 
@@ -65,13 +77,20 @@ def main(argv=None):
     ap.add_argument("--sf-dir", required=True, help="directory with documents.parquet")
     ap.add_argument("--out", default=None, help="write JSON here (default stdout)")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    ap.add_argument(
+        "--dedup-cards",
+        action="store_true",
+        help="include the edge-DAG-backed cards (per-source token savings, "
+        "dup-graph degree histogram, dup locality) — pays one full "
+        "signature->LSH->verify pass, cached across the three",
+    )
     args = ap.parse_args(argv)
 
     from minhash_spark.session import build_session
 
     spark = build_session(app_name="corpus-profile", master=f"local[{args.cpus}]")
     try:
-        card = build_profile(spark, args.sf_dir)
+        card = build_profile(spark, args.sf_dir, dedup_cards=args.dedup_cards)
     finally:
         spark.stop()
     text = json.dumps(card, indent=1)

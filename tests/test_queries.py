@@ -1011,6 +1011,24 @@ def test_profile_cli_builds_consistent_card(spark):
         assert s["approx_unique_texts"] <= s["n_docs"] * 1.05
     assert card["zipf"]["zipf_slope"] < 0
     assert 0.0 < card["zipf"]["zipf_r2"] <= 1.0
+    # dedup cards are OPT-IN (they pay the full edge DAG): absent by default
+    assert "dedup" not in card
+
+
+def test_profile_cli_dedup_cards_internally_consistent(spark):
+    """--dedup-cards: the opt-in section's three cards agree with each other
+    — locality pairs == half the degree mass, kept docs <= corpus."""
+    from jobs.datacard import build_profile
+
+    card = build_profile(spark, SF, dedup_cards=True)
+    d = card["dedup"]
+    n_edges = sum(b["n_pairs"] for b in d["dup_locality"])
+    assert sum(b["degree"] * b["n_docs"] for b in d["dup_graph_degree"]) == 2 * n_edges
+    assert sum(s["n_docs"] for s in d["token_savings"]) == card["n_docs"]
+    assert all(
+        s["tokens_saved"] == s["tokens_total"] - s["tokens_kept"]
+        for s in d["token_savings"]
+    )
 
 
 def test_cluster_assign_planted_merge_signal(spark, tmp_path):
