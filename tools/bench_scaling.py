@@ -168,7 +168,19 @@ the 2x corpus: {n_clusters_truth:,} = 10,000 planted clusters + 100,000
 singletons); pair recall 1.0 is asserted at test scale in
 tests/test_pipeline_planted.py.
 """
-    (ROOT / "BENCH" / "BASELINE.md").write_text(md)
+    # Preserve the manually-maintained appendix sections (canary discipline,
+    # query-suite growth, carry-forward, data-size scaling): everything from
+    # the first appendix header onward survives regeneration.
+    target = ROOT / "BENCH" / "BASELINE.md"
+    appendix = ""
+    if target.exists():
+        old = target.read_text()
+        for marker in ("## Query suite growth", "## Snapshot carry-forward", "## Round 5:"):
+            idx = old.find(marker)
+            if idx != -1:
+                appendix = "\n" + old[idx:]
+                break
+    target.write_text(md + appendix)
     print(
         f"efficiency 1->4={eff14:.3f}, 2->8={eff28:.3f} -> BENCH/BASELINE.md written",
         flush=True,
