@@ -40,10 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # therefore holds (a) entries the driver has never checked (round-5
     # additions), (b) entries whose behavior changes this round (multimodal
     # decode is now real), (c) the 24-query r3 cohort whose newest driver row
-    # is r3, and (d) the load-bearing dedup/ANN core. The 37 r4-green entries
+    # is r3, and (d) the load-bearing dedup/ANN core. The 42 r4-green entries
     # past the window (26 rotated at round start + 7 displaced by the X67-X73
-    # additions + 4 by X74-X77 + 2 by X79) rotate back next round; all 89 stay covered
-    # every round by tools/check_oracles.py and pytest.
+    # additions + 4 by X74-X77 + 2 by X79 + 3 by X80-X82) rotate back next
+    # round; all 92 stay covered every round by tools/check_oracles.py
+    # (ALL OK at sf0.001 this session) and pytest.
     return {
         # ---- (c) r3 cohort: newest driver row is r3 — refresh first -------
         "stratified_sample": Q.q_stratified_sample,
