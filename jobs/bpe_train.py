@@ -36,6 +36,8 @@ def main(argv=None):
                     help="optionally write per-doc BPE token counts (parquet)")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "4"))
     args = ap.parse_args(argv)
+    if args.max_vocab is not None and args.max_vocab <= 0:
+        ap.error("--max-vocab must be positive")
 
     from minhash_spark.operators import bpe
     from minhash_spark.plans.queries import load
@@ -44,7 +46,7 @@ def main(argv=None):
     spark = build_session(app_name="bpe-train", master=f"local[{args.cpus}]")
     try:
         docs = load(spark, args.sf_dir, "documents")
-        kw = {"max_vocab": args.max_vocab} if args.max_vocab else {}
+        kw = {"max_vocab": args.max_vocab} if args.max_vocab is not None else {}
         merges = bpe.learn_bpe(docs, n_merges=args.merges, **kw)
         with open(args.out, "w") as f:
             json.dump(

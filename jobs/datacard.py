@@ -68,7 +68,7 @@ def build_profile(spark, sf_dir: str, dedup_cards: bool = False) -> dict:
         "source_profiles": sources,
         "quality_tier_kept": tier_mix,
         "zipf": zipf,
-        **({"dedup": dedup} if dedup_cards else {}),
+        **({"dedup": dedup} if dedup else {}),
     }
 
 

@@ -36,7 +36,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-WORD_RE = "[0-9A-Za-z_]+"  # the dedup tokenizer's word domain (X82 / oracle)
+from minhash_spark.tokenize import _WORD_RE  # the dedup tokenizer's word domain
+
+WORD_RE = _WORD_RE.pattern  # one source of truth: training describes the
+# same token stream the word-mode signatures hash (X82 reuses this literal)
 END = "</w>"
 
 
@@ -145,14 +148,13 @@ def encode_tokens_udf(merges: list[tuple[str, str]]):
 
     @pandas_udf("array<string>")
     def _encode(texts: pd.Series) -> pd.Series:
-        import re
+        from minhash_spark.tokenize import word_tokens
 
         memo: dict[str, list[str]] = {}
-        rx = re.compile(WORD_RE)
         out = []
         for t in texts:
             toks: list[str] = []
-            for w in rx.findall(t or ""):
+            for w in word_tokens(t or ""):
                 enc = memo.get(w)
                 if enc is None:
                     enc = encode_word(w, ranks)

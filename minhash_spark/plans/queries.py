@@ -1701,7 +1701,12 @@ def q_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    assigned = emb.select("vec_id", cell_order(F.col("v"))[0].alias("cell"))
+    # barrier: assigned feeds BOTH cell_sizes and the truth join below —
+    # without it Catalyst re-executes the corpus-wide matmul UDF per
+    # consumer (the multi-consumer rule every cached DAG here follows)
+    assigned = emb.select(
+        "vec_id", cell_order(F.col("v"))[0].alias("cell")
+    ).transform(verify.barrier)
     cell_sizes = assigned.groupBy("cell").agg(F.count("*").alias("cell_n"))
     n_vecs = emb.count()
 
@@ -1739,11 +1744,16 @@ def q_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_found"),
         )
     )
+    # denominator is the FIXED query count, not countDistinct(query_id): a
+    # query whose first probed cells are all empty contributes 0 scanned
+    # rows — it must not silently drop out of the mean (k-means keeps stale
+    # centroids for empty cells, so empty cells are reachable)
+    n_queries = q_orders.count()
     cost = (
         sweeps.crossJoin(probe_cost)
         .where(F.col("pos") < F.col("nprobe"))
         .groupBy("nprobe")
-        .agg((F.sum("cell_n") / F.countDistinct("query_id")).alias("mean_scanned"))
+        .agg((F.sum("cell_n") / F.lit(n_queries)).alias("mean_scanned"))
     )
     return (
         recall.join(cost, "nprobe")

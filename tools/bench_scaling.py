@@ -20,7 +20,7 @@ reports the min of several fully-warm in-process runs. Alternation samples
 the drift fairly for both legs; min-of-mins estimates the uncontaminated
 cost.
 
-Usage: python tools/bench_scaling.py [--reps N] [--skip-primary]
+Usage: python tools/bench_scaling.py [--reps N]
 """
 
 from __future__ import annotations
@@ -175,11 +175,16 @@ tests/test_pipeline_planted.py.
     appendix = ""
     if target.exists():
         old = target.read_text()
-        for marker in ("## Query suite growth", "## Snapshot carry-forward", "## Round 5:"):
-            idx = old.find(marker)
-            if idx != -1:
-                appendix = "\n" + old[idx:]
-                break
+        # EARLIEST marker position wins (not tuple order): if one marker is
+        # ever removed/retitled, the appendix must still start at the first
+        # surviving manual section, never silently drop earlier ones
+        hits = [
+            idx
+            for marker in ("## Query suite growth", "## Snapshot carry-forward", "## Round 5:")
+            if (idx := old.find(marker)) != -1
+        ]
+        if hits:
+            appendix = "\n" + old[min(hits) :]
     target.write_text(md + appendix)
     print(
         f"efficiency 1->4={eff14:.3f}, 2->8={eff28:.3f} -> BENCH/BASELINE.md written",
