@@ -33,19 +33,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.q_near_dup_clusters(spark, SF0001)
 
 
+def _driver_evidence_rounds() -> dict[str, int]:
+    """Newest CORRECTNESS_r*.json round in which each query earned driver
+    evidence (green hash, or a rows-only record for no-oracle entries). A red
+    row is not evidence. Used to self-rotate the 50-entry driver window."""
+    import glob
+    import json
+    import re
+
+    latest: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", os.path.basename(f)).group(1))
+        try:
+            rows = json.load(open(f))
+        except (OSError, ValueError):
+            continue
+        for k, v in rows.items():
+            if v.get("hash_match") is True or (
+                v.get("err") == "no_oracle" and v.get("spark_rows") is not None
+            ):
+                latest[k] = max(latest.get(k, 0), rnd)
+    return latest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate evaluates the FIRST 50
-    # dict entries. Round-5 rotation discipline (VERDICT r4 item 1): no
-    # query's newest driver-green row may become >1 round old. The window
-    # therefore holds (a) entries the driver has never checked (round-5
-    # additions), (b) entries whose behavior changes this round (multimodal
-    # decode is now real), (c) the 24-query r3 cohort whose newest driver row
-    # is r3, and (d) the load-bearing dedup/ANN core. The 42 r4-green entries
-    # past the window (26 rotated at round start + 7 displaced by the X67-X73
-    # additions + 4 by X74-X77 + 2 by X79 + 3 by X80-X82) rotate back next
-    # round; all 92 stay covered every round by tools/check_oracles.py
-    # (ALL OK at sf0.001 this session) and pytest.
-    return {
+    # dict entries. Rotation discipline (VERDICT r4 item 1 / r5 item 1): no
+    # query's newest driver-green row may become >1 round old. Rather than
+    # hand-reordering each round (the round-5 bug: the repo shipped with its
+    # own staleness guard red), the window is computed FROM the CORRECTNESS
+    # files at call time: stalest evidence first (never-checked entries sort
+    # as round 0), ties broken by name for determinism. The driver window
+    # therefore self-rotates every round and tests/test_oracle_gate.py's two
+    # window guards hold by construction.
+    base = {
         # ---- (c) r3 cohort: newest driver row is r3 — refresh first -------
         "stratified_sample": Q.q_stratified_sample,
         "leakage_safe_split": Q.q_leakage_safe_split,
@@ -173,6 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": Q.q_quality_filter,
         "cluster_representatives": Q.q_cluster_representatives,
         "deterministic_sample": Q.q_deterministic_sample,
+    }
+    latest = _driver_evidence_rounds()
+    return {
+        name: base[name]
+        for name in sorted(base, key=lambda n: (latest.get(n, 0), n))
     }
 
 
