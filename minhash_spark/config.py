@@ -75,8 +75,15 @@ class MinHashConfig:
     # 4-10x faster serially / on bandwidth-rich executors when batches dedup
     # heavily — see BENCH/BASELINE.md). Signature bytes are identical either
     # way (pytest-pinned), so it is excluded from config_hash and never
-    # invalidates checkpoints.
-    kernel_group: str = "murmur"
+    # invalidates checkpoints. Default flipped to 'rolling' in r6: re-measured
+    # at 32-way concurrency on the bench corpus, rolling won every
+    # (partitions, batch) combination tried (7.9-8.7 s vs 8.5-11.3 s for the
+    # 64k-doc signature pass); env-overridable for bandwidth-starved hosts.
+    kernel_group: str = field(
+        default_factory=lambda: __import__("os").environ.get(
+            "SPARK_GRAFT_KERNEL_GROUP", "rolling"
+        )
+    )
 
     _PHYSICAL_ONLY = ("kernel_group",)
 

@@ -99,10 +99,15 @@ def _compute_mins(
         grp = getattr(cfg, "kernel_group", "murmur")
         for lo, hi in _slices_by_chars(str_list, _MAX_CHARS_PER_KERNEL_CALL):
             if oph:
+                # OPH hashes each window ONCE — rolling-key grouping cannot
+                # amortize a multi-seed fold there, and its key passes cost
+                # more than the single murmur they'd save (r6 measurement:
+                # same effect on the other 1-hash paths below); the
+                # kernel_group knob therefore scopes to the kseed fold only
                 out[lo:hi] = kernel.oph_mins_char_shingle(
                     str_list[lo:hi], k=k, size=cfg.size, seed=cfg.seed,
                     exclude_sorted=exclude_sorted,
-                    group="rolling" if grp == "rolling" else "direct",
+                    group="direct",
                 )
             else:
                 out[lo:hi] = kernel.minhash_mins_char_shingle(
@@ -338,9 +343,13 @@ def sig_bitmatch_udf():
 
 def distinct_window_hashes_udf(cfg: MinHashConfig):
     """content -> array<long> of the doc's DISTINCT shingle hashes (h1, seed 0).
-    Used by the document-frequency pass of the boilerplate-shingle filter."""
+    Used by the document-frequency pass of the boilerplate-shingle filter.
+
+    Always the direct murmur pass: this is a SINGLE-hash-per-window path, so
+    rolling-key grouping has no multi-seed fold to amortize and measured
+    slower (r6: 2.5 s direct vs 3.3 s rolling on the bench DF pass)."""
     k = cfg.tokenizer_params.get("k", 9)
-    grp = getattr(cfg, "kernel_group", "murmur")
+    grp = "murmur"
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
@@ -355,6 +364,44 @@ def distinct_window_hashes_udf(cfg: MinHashConfig):
         return pd.Series([np.unique(h[offs[d] : offs[d + 1]]) for d in range(n)])
 
     return _udf
+
+
+def window_doc_freq_frames(cfg: MinHashConfig):
+    """mapInPandas body: content batches -> pre-aggregated (h, df) frames,
+    where df counts DOCS containing shingle-hash h within the batch.
+
+    Semantically identical to ``explode(distinct_window_hashes_udf(content))
+    -> groupBy(h).count()`` but the per-batch aggregation happens in one
+    vectorized np.unique instead of shipping every (doc, distinct-hash) row
+    through Arrow into a JVM explode + hash aggregate — on the bench sample
+    that is ~126M exploded rows (~1 GB of Arrow traffic) collapsed to the
+    per-batch distinct set before anything crosses the boundary. The
+    downstream groupBy(h).sum(df) completes the exact same document
+    frequency."""
+    from minhash_spark import kernel
+
+    k = cfg.tokenizer_params.get("k", 9)
+
+    def fn(batches):
+        for pdf in batches:
+            str_list = _apply_char_filters(
+                pdf["content"].fillna("").astype(str).tolist(), cfg
+            )
+            batch = kernel._ShingleBatch(str_list, k)
+            n = len(str_list)
+            if len(batch.starts) == 0:
+                continue
+            h = kernel.window_h1_seed0(batch, group="murmur")
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(batch.counts, out=offs[1:])
+            per_doc = [np.unique(h[offs[d] : offs[d + 1]]) for d in range(n)]
+            hs = np.concatenate([u for u in per_doc if len(u)]) if per_doc else None
+            if hs is None or len(hs) == 0:
+                continue
+            u, c = np.unique(hs, return_counts=True)
+            yield pd.DataFrame({"h": u, "df": c.astype(np.int64)})
+
+    return fn
 
 
 SIMILARITY_TYPE = T.StructType(
@@ -397,8 +444,11 @@ def _unique_id_sets(
         batch = kernel._ShingleBatch(_apply_char_filters(uniq_texts, cfg), k)
         offs = np.zeros(len(uniq_texts) + 1, dtype=np.int64)
         np.cumsum(batch.counts, out=offs[1:])
+        # single-hash path: direct murmur regardless of cfg.kernel_group
+        # (the knob scopes to the multi-seed kseed fold — see
+        # distinct_window_hashes_udf)
         h = (
-            kernel.window_h1_seed0(batch, group=getattr(cfg, "kernel_group", "murmur"))
+            kernel.window_h1_seed0(batch, group="murmur")
             if len(batch.starts)
             else np.empty(0, dtype=np.int64)
         )
@@ -437,6 +487,32 @@ def _pair_overlap_scores(
     return jac, cont
 
 
+def score_similarity_frame(
+    a: pd.Series, b: pd.Series, cfg: MinHashConfig, exclude_sorted: np.ndarray | None
+) -> pd.DataFrame:
+    """(content_a, content_b) series -> DataFrame(jaccard, containment,
+    substr). The batch body shared by ``similarity_udf`` (column form) and
+    the verify stage's cogroup scorer (operators/verify.py) — ONE
+    implementation of the exact-verify semantics, so the two call shapes
+    cannot drift."""
+    import re as _re
+
+    do_substr = cfg.substring_verify and cfg.containment_threshold is not None
+    n = len(a)
+    uniq, idx = _unique_id_sets(a, b, cfg, exclude_sorted)
+    jac, cont = _pair_overlap_scores(uniq, idx, n)
+    substr = np.full(n, None, dtype=object)
+    if do_substr:
+        ws = _re.compile(r"\s+")
+        need = np.flatnonzero((cont >= cfg.containment_threshold) & (jac < cfg.verify_threshold))
+        for i in need:
+            sa = ws.sub(" ", ("" if a.iat[i] is None else str(a.iat[i])).strip())
+            sb = ws.sub(" ", ("" if b.iat[i] is None else str(b.iat[i])).strip())
+            small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
+            substr[i] = small in big
+    return pd.DataFrame({"jaccard": jac, "containment": cont, "substr": substr})
+
+
 def similarity_udf(cfg: MinHashConfig, exclude_sorted: np.ndarray | None = None):
     """(content_a, content_b) -> struct(jaccard, containment).
 
@@ -451,27 +527,10 @@ def similarity_udf(cfg: MinHashConfig, exclude_sorted: np.ndarray | None = None)
     null for pairs where the check was not needed.
     """
     cfg.validate()
-    do_substr = cfg.substring_verify and cfg.containment_threshold is not None
-    cthr = cfg.containment_threshold
-    jthr = cfg.verify_threshold
 
     @pandas_udf(SIMILARITY_TYPE)
     def _udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
-        import re as _re
-
-        n = len(a)
-        uniq, idx = _unique_id_sets(a, b, cfg, exclude_sorted)
-        jac, cont = _pair_overlap_scores(uniq, idx, n)
-        substr = np.full(n, None, dtype=object)
-        if do_substr:
-            ws = _re.compile(r"\s+")
-            need = np.flatnonzero((cont >= cthr) & (jac < jthr))
-            for i in need:
-                sa = ws.sub(" ", ("" if a.iat[i] is None else str(a.iat[i])).strip())
-                sb = ws.sub(" ", ("" if b.iat[i] is None else str(b.iat[i])).strip())
-                small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
-                substr[i] = small in big
-        return pd.DataFrame({"jaccard": jac, "containment": cont, "substr": substr})
+        return score_similarity_frame(a, b, cfg, exclude_sorted)
 
     return _udf
 

@@ -40,8 +40,15 @@ def candidate_pairs(
     max_bucket_size: int,
     key_col: str = "band_hash",
     id_col: str = "rep_id",
+    sizes: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (pairs, overflow_stats).
+
+    ``sizes``: optional precomputed ``bucket_stats(buckets)`` result. A
+    caller that ALSO consumes the stats (the pipeline's overflow metrics
+    aggregate) should materialize them once and pass them in — otherwise the
+    bucket-explode + count aggregation runs once for the metrics action and
+    again inside the pair plan.
 
     Key-generic (``key_col``/``id_col``): the same skew-managed topology
     serves MinHash bands, SimHash bands, and embedding hyperplane buckets.
@@ -59,7 +66,8 @@ def candidate_pairs(
         reported in overflow_stats.
     overflow_stats: (key_col, bucket_size) of buckets handled as stars.
     """
-    sizes = bucket_stats(buckets, key_col)
+    if sizes is None:
+        sizes = bucket_stats(buckets, key_col)
     overflow = sizes.where(F.col("bucket_size") > max_bucket_size)
     over_keys = F.broadcast(overflow.select(key_col))
     ok = buckets.join(over_keys, key_col, "left_anti")

@@ -26,28 +26,45 @@ def with_identity(files: DataFrame) -> DataFrame:
     )
 
 
-def distinct_contents(files_with_id: DataFrame) -> DataFrame:
+def distinct_contents(files_with_id: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """One representative row per distinct content (P3 exact-dup shortcut).
 
     min(file_id) keeps the representative deterministic. The aggregation
     shuffles (content_sha256, content) once; everything downstream (kernel,
     LSH, verify) runs on representatives only.
-    """
+
+    ``num_partitions``: when set, an explicit hash repartition on
+    content_sha256 is planned UNDER the aggregate. EnsureRequirements then
+    satisfies the groupBy's distribution from that exchange (same key, same
+    partition count), so the aggregate adds NO second exchange — and because
+    the partition count is user-pinned, AQE cannot coalesce it down to a
+    few IO-sized partitions that would starve a CPU-bound kernel UDF placed
+    directly on top. One content shuffle total, already spread for the
+    kernel (guide §2.4: two operations keyed the same way share one
+    exchange)."""
+    if num_partitions:
+        files_with_id = files_with_id.repartition(num_partitions, "content_sha256")
     return files_with_id.groupBy("content_sha256").agg(
         F.min("file_id").alias("rep_id"), F.first("content").alias("content")
     )
 
 
-def compute_signatures(reps: DataFrame, cfg: MinHashConfig, exclude_sorted=None) -> DataFrame:
+def compute_signatures(
+    reps: DataFrame, cfg: MinHashConfig, exclude_sorted=None, spread: bool = True
+) -> DataFrame:
     """representatives -> (content_sha256, rep_id, sig, sig_b64, bands).
 
     Narrow map stage; the only process boundary is the Arrow batch transfer
     into the kernel UDF."""
     sig = minhash_struct_udf(cfg, exclude_sorted=exclude_sorted)
     # AQE coalesces the distinct-contents shuffle to few IO-sized partitions,
-    # which would starve the CPU-bound kernel UDF; spread it back out.
-    par = reps.sparkSession.sparkContext.defaultParallelism
-    reps = reps.repartition(par)
+    # which would starve the CPU-bound kernel UDF; spread it back out —
+    # unless the caller already partitioned reps wide (``spread=False``,
+    # the pipeline's distinct_contents(num_partitions=...) path), in which
+    # case a second full shuffle of content would be pure waste.
+    if spread:
+        par = reps.sparkSession.sparkContext.defaultParallelism
+        reps = reps.repartition(par)
     return reps.select(
         "content_sha256",
         "rep_id",

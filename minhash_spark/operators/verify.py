@@ -26,9 +26,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from minhash_spark.config import MinHashConfig
-from minhash_spark.functions.udfs import sig_bitmatch_udf, similarity_udf
+from minhash_spark.functions.udfs import sig_bitmatch_udf
 
 # max verify pairs sharing one (a_id, salt) task-group; above this the group
 # is hash-split so a giant star bucket cannot starve the exact-Jaccard stage
@@ -78,7 +79,6 @@ def verify_pairs(
     """
     sigs = signatures.select("rep_id", "sig")
     bitmatch = sig_bitmatch_udf()
-    sim = similarity_udf(cfg, exclude_sorted=exclude_sorted)
 
     est_min = cfg.verify_threshold - cfg.sig_prefilter_margin
     # sig_bitmatch_udf measures PER-BIT equality: matching minima (prob J)
@@ -117,32 +117,44 @@ def verify_pairs(
             .select("a_id", "b_id")
         )
     # survivors reference only a small fraction of the corpus; a semi-join on
-    # the candidate id set keeps NON-candidate content out of the two content
-    # shuffles entirely (at bench scale this is the difference between
-    # shuffling the whole 660 MB corpus twice and ~a quarter of it).
+    # the candidate id set keeps NON-candidate content out of the content
+    # movement entirely (at bench scale this is the difference between
+    # shuffling the whole 660 MB corpus and ~a quarter of it).
     needed = (
         survivors.select(F.col("a_id").alias("rep_id"))
         .union(survivors.select(F.col("b_id").alias("rep_id")))
         .distinct()
     )
     slim = contents.join(needed, "rep_id", "left_semi")
-    # survivors are few; AQE would coalesce them onto 1-2 tasks and starve
-    # the CPU-bound exact-Jaccard UDF, so ONE repartition spreads the joined
-    # pairs right before scoring (an extra pre-join repartition + barrier
-    # checkpoint here measured as pure fixed cost). Partitioning BY a_id and
-    # sorting within partitions co-locates every pair that shares a left
-    # text into the same Arrow batches, so the verify UDF's batch-wide
-    # distinct-text dedup hashes each such text once instead of once per
-    # batch it was scattered into. Per-a_id multiplicity is UNBOUNDED under
-    # star topology (a_id = bucket_min of an oversized bucket pairs with
-    # every member), so groups above _VERIFY_GROUP_CAP pairs are salted by
-    # hash(b_id) into ceil(count/cap) sub-groups: a 100k-pair star spreads
-    # across ~100 tasks instead of starving on one, while typical groups
-    # (cluster-sized, under the cap) keep full co-location. The group-size
-    # aggregation runs over the survivor PAIR set — orders of magnitude
-    # smaller than the corpus — so its cost is negligible next to the
-    # content joins it feeds.
+    # Scoring layout (guide §8: decide with small rows, move big rows once).
+    # The r5 tail joined content onto the pair table twice and then
+    # repartitioned the doubled-content rows — the heavy text bytes crossed
+    # THREE exchanges (content_a also rode through the b-side join). Now the
+    # scoring partition is decided on the bare (a_id, b_id) pair table:
+    #   1. _pkey = hash(a_id, salt) % par, computed on id pairs only.
+    #      Per-a_id multiplicity is UNBOUNDED under star topology, so groups
+    #      above _VERIFY_GROUP_CAP pairs are salted by hash(b_id) into
+    #      ceil(count/cap) sub-groups — a 100k-pair star spreads across
+    #      ~100 partitions instead of starving on one, while typical groups
+    #      keep full co-location for the scorer's distinct-text dedup.
+    #   2. sides = distinct (rep_id, _pkey) — the placement map, bounded by
+    #      2x|survivor pairs|, attached to the slimmed content by equi-join
+    #      (AQE broadcasts it when small; even as a shuffle join it moves
+    #      ids + pkeys and content ONCE, never doubled pair rows).
+    #   3. ONE cogroup exchange on _pkey ships each needed content row to
+    #      its scoring partition exactly once per partition that needs it
+    #      (<= once per pair, typically far less — a doc in k co-located
+    #      pairs ships one copy, not k), where the pairs are assembled and
+    #      scored in vectorized batches (score_similarity_frame — the same
+    #      body similarity_udf wraps, so semantics cannot drift).
     par = pairs.sparkSession.sparkContext.defaultParallelism
+    # pkey modulus sized from the survivor count (a cheap count over the
+    # barrier's materialized blocks): ~_VERIFY_GROUP_CAP pairs per cogroup
+    # group, so the Python scorer's per-group pandas frame is BOUNDED
+    # (~cap x 2 docs) at any corpus size, never survivors/partitions —
+    # while never dropping below cluster parallelism.
+    n_surv = survivors.count()
+    n_keys = max(par, -(-n_surv // _VERIFY_GROUP_CAP))
     a_counts = survivors.groupBy("a_id").agg(F.count("*").alias("_a_cnt"))
     salted = (
         survivors.join(a_counts, "a_id")
@@ -158,27 +170,55 @@ def verify_pairs(
         )
         .drop("_a_cnt")
     )
-    with_content = (
-        salted.join(
-            slim.select(F.col("rep_id").alias("a_id"), F.col("content").alias("content_a")),
-            "a_id",
-        )
-        .join(
-            slim.select(F.col("rep_id").alias("b_id"), F.col("content").alias("content_b")),
-            "b_id",
-        )
-        .repartition(par, "a_id", "_salt")
-        .sortWithinPartitions("a_id")
-        .drop("_salt")
+    pairs_k = salted.withColumn(
+        "_pkey", F.pmod(F.xxhash64("a_id", "_salt"), F.lit(n_keys)).cast("int")
+    ).drop("_salt")
+    # fresh column name on the content side: sides shares pairs_k's lineage,
+    # and cogrouping both branches on the same attribute id trips the
+    # ambiguous-self-join analyzer check
+    sides = (
+        pairs_k.select(F.col("a_id").alias("rep_id"), F.col("_pkey").alias("_ckey"))
+        .union(pairs_k.select(F.col("b_id").alias("rep_id"), F.col("_pkey").alias("_ckey")))
+        .distinct()
     )
-    scored = with_content.withColumn(
-        "s", sim(F.col("content_a"), F.col("content_b"))
-    ).select(
-        "a_id",
-        "b_id",
-        F.col("s.jaccard").alias("jaccard"),
-        F.col("s.containment").alias("containment"),
-        F.col("s.substr").alias("substr"),
+    ship = slim.join(sides, "rep_id")
+    id_fields = [f for f in pairs_k.schema.fields if f.name in ("a_id", "b_id")]
+    out_schema = T.StructType(
+        id_fields
+        + [
+            T.StructField("jaccard", T.DoubleType()),
+            T.StructField("containment", T.DoubleType()),
+            T.StructField("substr", T.BooleanType()),
+        ]
+    )
+
+    def _score_group(pairs_pdf, content_pdf):
+        import pandas as pd
+
+        from minhash_spark.functions.udfs import score_similarity_frame
+
+        if len(pairs_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "a_id": pairs_pdf["a_id"],
+                    "b_id": pairs_pdf["b_id"],
+                    "jaccard": pd.Series([], dtype="float64"),
+                    "containment": pd.Series([], dtype="float64"),
+                    "substr": pd.Series([], dtype="object"),
+                }
+            )
+        lookup = dict(zip(content_pdf["rep_id"], content_pdf["content"]))
+        a = pairs_pdf["a_id"].map(lookup)
+        b = pairs_pdf["b_id"].map(lookup)
+        s = score_similarity_frame(a, b, cfg, exclude_sorted)
+        s.insert(0, "b_id", pairs_pdf["b_id"].values)
+        s.insert(0, "a_id", pairs_pdf["a_id"].values)
+        return s
+
+    scored = (
+        pairs_k.groupBy("_pkey")
+        .cogroup(ship.groupBy("_ckey"))
+        .applyInPandas(_score_group, out_schema)
     )
     accept = F.col("jaccard") >= F.lit(cfg.verify_threshold)
     if cfg.containment_threshold is not None:

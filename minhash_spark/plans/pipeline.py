@@ -83,7 +83,7 @@ class DedupPipeline:
         array of boilerplate hashes (cfg.filter_common_shingles)."""
         import numpy as np
 
-        from minhash_spark.functions.udfs import distinct_window_hashes_udf
+        from minhash_spark.functions.udfs import window_doc_freq_frames
 
         cfg = self.cfg
 
@@ -93,11 +93,15 @@ class DedupPipeline:
             sample = files.where(F.pmod(F.abs(F.hash("content")), F.lit(d)) == 0)
             n_sample = sample.count()
             thr = max(2, int(cfg.common_df_ratio * n_sample))
-            hudf = distinct_window_hashes_udf(cfg)
+            # per-batch pre-aggregated (h, df) frames from the UDF, summed to
+            # exact document frequencies — identical result to the r5
+            # explode+count, minus ~1 GB of Arrow rows (guide §2.3 aggregate
+            # before you shuffle, applied at the Python boundary too)
             dfreq = (
-                sample.select(F.explode(hudf(F.col("content"))).alias("h"))
+                sample.select("content")
+                .mapInPandas(window_doc_freq_frames(cfg), "h long, df long")
                 .groupBy("h")
-                .agg(F.count("*").alias("df"))
+                .agg(F.sum("df").alias("df"))
                 .where(F.col("df") >= thr)
                 .orderBy(F.col("df").desc())
                 .limit(cfg.common_max_shingles)
@@ -161,7 +165,12 @@ class DedupPipeline:
 
         def build_signatures():
             with_id = signatures.with_identity(files)
-            reps = signatures.distinct_contents(with_id)
+            # one content shuffle total: the explicit wide hash-repartition
+            # under the groupBy doubles as the kernel stage's spread, so the
+            # old second round-robin exchange of the full corpus is gone
+            # (guide §2.4 — share one exchange between co-keyed operations)
+            par = self.spark.sparkContext.defaultParallelism
+            reps = signatures.distinct_contents(with_id, num_partitions=par)
             metrics: dict = {
                 "excluded_shingles": 0 if exclude is None else int(len(exclude)),
                 # signature-relevant config identity (kernel + banding only):
@@ -170,7 +179,9 @@ class DedupPipeline:
                 "signature_hash": cfg.signature_hash(),
             }
             if prev_signatures is None:
-                sigs = signatures.compute_signatures(reps, cfg, exclude_sorted=exclude)
+                sigs = signatures.compute_signatures(
+                    reps, cfg, exclude_sorted=exclude, spread=False
+                )
                 return sigs, metrics
             # snapshot carry-forward (north rule's daily-crawl shape): a
             # MinHash signature is a pure function of (content, signature
@@ -209,7 +220,14 @@ class DedupPipeline:
             # checkpoint — computed inline, not persisted (a checkpoint would
             # add a write+read of |sigs| x num_bands rows with no resume value)
             buckets = lsh.explode_buckets(sigs)
-            pairs, overflow = lsh.candidate_pairs(buckets, cfg.max_bucket_size)
+            # bucket stats feed the overflow metrics action AND the pair
+            # topology; materialize them once instead of running the explode
+            # + count aggregation twice (once for .first(), once inside the
+            # candidate-pair plan)
+            sizes = verify.barrier(lsh.bucket_stats(buckets))
+            pairs, overflow = lsh.candidate_pairs(
+                buckets, cfg.max_bucket_size, sizes=sizes
+            )
             # 1-row aggregate, not collect(): overflow can be wide under
             # pathological skew and must never land row-by-row on the driver
             over = overflow.agg(

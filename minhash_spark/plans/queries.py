@@ -41,7 +41,9 @@ from minhash_spark.operators import components, lsh, verify
 # share too many unigrams; trigrams separate planted dups from noise cleanly)
 # physical-only window-grouping scheme for the query-suite kernel UDFs
 # (fingerprints etc. — values identical either way; see MinHashConfig.kernel_group)
-KERNEL_GROUP = os.environ.get("SPARK_GRAFT_KERNEL_GROUP", "murmur")
+KERNEL_GROUP = "murmur"  # single-hash (h1-only) paths: direct murmur always —
+# rolling-key grouping only pays when a multi-seed fold is amortized over
+# distinct windows (cfg.kernel_group covers that path; r6 measurement)
 
 DOC_CFG = MinHashConfig(
     seed=0,
@@ -81,6 +83,28 @@ LANG_MARKERS = {
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive repartition ahead of CPU-dense per-row work (kernel /
+    decode / suffix UDFs, span explodes). The sandbox tables arrive as a
+    single parquet row group, so the scan — and every map fused into it —
+    is ONE task; the vectorized kernels then run on one core of 32 (guide
+    §2.5 input skew: "one huge unsplittable file ... repartition immediately
+    after the read"). Round-robin to defaultParallelism: the shuffled bytes
+    are the doc rows themselves (KBs here; at cluster scale the same spread
+    is what keeps a CPU-bound stage fed, same rationale as
+    operators/signatures.compute_signatures). Row values are untouched, so
+    results are identical under the driver's order-insensitive gate.
+
+    Adaptive: when the scan already yields >= defaultParallelism partitions
+    (any real cluster-scale input), this is an identity — the repartition
+    only fires for under-split inputs, so no corpus-sized shuffle is ever
+    added at scale. The planning probe (getNumPartitions) runs no job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 # ---------------------------------------------------------------------------
@@ -130,7 +154,7 @@ def _doc_signatures(spark: SparkSession, sf_dir: str, cfg: MinHashConfig) -> Dat
     hit = _SIG_CACHE.get(key)
     if hit is not None:
         return hit
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     from minhash_spark.functions.udfs import minhash_struct_udf
 
     sig = minhash_struct_udf(cfg)
@@ -196,7 +220,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-encoded base64 signatures (surface parity; byte-exactness is
     golden-tested). No SQL oracle: minhash is not computable in DuckDB."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     b64 = minhash_b64_udf(DOC_CFG)
     return docs.select("doc_id", b64(F.col("text")).alias("sig_b64"))
 
@@ -211,7 +235,7 @@ def q_minhash_bitstrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     and SQL==DataFrame equality are pinned in pytest."""
     from minhash_spark.functions.udfs import minhash_bitstring_udf
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     bits = minhash_bitstring_udf(DOC_CFG)
     sigs = docs.select("doc_id", bits(F.col("text")).alias("sig_bits"))
     return sigs.select(
@@ -226,7 +250,7 @@ def q_minhash_signatures_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs end-to-end per round, not only in pytest. rows-only: murmur bytes
     are not DuckDB-computable; OPH==reference-quality estimation properties
     are pinned by the kernel property suite."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     ocfg = MinHashConfig(
         seed=0,
         size=128,
@@ -245,7 +269,7 @@ def q_minhash_signatures_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O16 field-collapse analog: one representative doc per distinct signature.
     No oracle: near-identical docs may legitimately share a signature."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     b64 = minhash_b64_udf(DOC_CFG)
     return (
         docs.select("doc_id", b64(F.col("text")).alias("sig_b64"))
@@ -270,7 +294,7 @@ def q_multi_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compact": MinHashConfig(seed=1000, size=32, bit=2, tokenizer="word", num_bands=8, rows_per_band=4),
     }
     fan = multi_config_struct_udf(configs)
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", fan(F.col("text")).alias("m")).select(
         "doc_id",
         F.col("m.default.sig_b64").alias("sig_default"),
@@ -288,7 +312,7 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = simhash_udf(DOC_CFG)
     # simhash per doc is tiny (id + one long); localCheckpoint so the kernel
     # runs once — it feeds both the band explode and the per-side join-back
-    s = docs.select("doc_id", sh(F.col("text")).alias("simhash")).transform(verify.barrier)
+    s = _spread(docs).select("doc_id", sh(F.col("text")).alias("simhash")).transform(verify.barrier)
     # band index folded into one long key (idx*2^16 + 16-bit band value) so a
     # single long column shuffles — same trick as the MinHash band_hash
     bands = s.select(
@@ -393,7 +417,7 @@ def _containment_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint-sharing candidates: same df-capped winnowing table as
     # q_fingerprint_matches, floor of 2 shared fingerprints (see docstring)
     fp = _fingerprint_udf()
-    fps = docs.select(
+    fps = _spread(docs).select(
         F.col("doc_id").alias("rep_id"), F.explode(fp(F.col("text"))).alias("f")
     ).transform(verify.barrier)
     fdf = fps.groupBy("f").agg(F.count("*").alias("df")).where(F.col("df") <= FP_MAX_DF)
@@ -1072,7 +1096,9 @@ def q_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE array_distinct(transform(sequence(0, size(w)-3), "
         "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) END"
     )
-    t = docs.select("doc_id", w.alias("w")).select("doc_id", tri.alias("toks"))
+    t = _spread(docs.select("doc_id", "text")).select("doc_id", w.alias("w")).select(
+        "doc_id", tri.alias("toks")
+    )
     q = t.where(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("query_id"), F.col("toks").alias("qtoks")
     )
@@ -1108,7 +1134,8 @@ def q_signature_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = minhash_struct_udf(DOC_CFG)
     sigs = (
-        docs.select("doc_id", sig(F.col("text")).alias("s"))
+        _spread(docs.select("doc_id", "text"))
+        .select("doc_id", sig(F.col("text")).alias("s"))
         .select("doc_id", F.col("s.sig").alias("sig"))
         .transform(verify.barrier)
     )
@@ -1248,7 +1275,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fx[d] = np.bitwise_xor.reduce(fps)
         return pd.DataFrame({"n_shingles": ns, "n_fingerprints": nf, "fp_xor": fx})
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", _fp(F.col("text")).alias("f")).select(
         "doc_id",
         F.col("f.n_shingles").alias("n_shingles"),
@@ -1343,7 +1370,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {k: pd.array(out[k], dtype="string" if k == "mime" else "Int64") for k in cols}
             )
 
-    return docs.mapInPandas(extract, schema=schema)
+    return _spread(docs).mapInPandas(extract, schema=schema)
 
 
 MM_FRAME_SAMPLES = 4  # frames sampled per video (at offsets i * n_frames / K)
@@ -1399,7 +1426,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["frame_sum"].append(int(rgb.astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(sample, schema=schema)
+    return _spread(docs).mapInPandas(sample, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1474,7 +1501,7 @@ def _doc_spans(docs: DataFrame, n: int) -> DataFrame:
         f"ELSE array_distinct(transform(sequence(0, size(w)-{n}), "
         f"i -> concat_ws(' ', {parts}))) END"
     )
-    return docs.select(
+    return _spread(docs.select("doc_id", "text")).select(
         "doc_id", F.expr("regexp_extract_all(text, '[0-9A-Za-z_]+', 0)").alias("w")
     ).select("doc_id", F.explode(spans).alias("span"))
 
@@ -1877,7 +1904,9 @@ def q_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _fingerprint_udf()
     # materialize once: the fingerprint set feeds the df branch AND both
     # sides of the pair self-join — without this the kernel UDF runs 3x
-    fps = docs.select("doc_id", F.explode(fp(F.col("text"))).alias("f")).transform(verify.barrier)
+    fps = _spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(fp(F.col("text"))).alias("f")
+    ).transform(verify.barrier)
     # df filter as a plain shuffle semi-join, NOT a broadcast: at 10^12 docs
     # the distinct fingerprint set is corpus-sized. The join, the df groupBy,
     # and the pair self-join all key on `f`, so the exchange is reused.
@@ -1921,7 +1950,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_of = lambda i: F.array_join(  # noqa: E731
         F.slice(F.col("w"), (i * PASSAGE_TOKENS + 1).cast("int"), PASSAGE_TOKENS), " "
     )
-    tokenized = docs.select("doc_id", w.alias("w"))
+    tokenized = _spread(docs.select("doc_id", "text")).select("doc_id", w.alias("w"))
     per_doc = tokenized.select("doc_id", n_chunks.alias("n_chunks"))
     chunks = tokenized.select("doc_id", F.explode(F.transform(idxs, chunk_of)).alias("chunk"))
     solo = (
@@ -1952,7 +1981,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-level df from the already-reduced tf table -> equi-join on term ->
     per-doc window top-k. The window partitions by doc_id (no global sort);
     df is NOT broadcast — at web scale the vocabulary is huge."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     t = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
     )
@@ -1990,7 +2019,7 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two partial-aggregable groupBys over (doc_id, term) and
     (term); the corpus-total is a 1-row aggregate broadcast by crossJoin
     (one scalar, not data); the term-count join is a shuffle equi-join."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     t = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
     )
@@ -2142,7 +2171,8 @@ def q_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     sig = minhash_struct_udf(DOC_CFG)
     sigs = (
-        docs.select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
+        _spread(docs)
+        .select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
         .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
         .transform(verify.barrier)
     )
@@ -2178,12 +2208,13 @@ def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     autogenerated) with an auditable first-failing-rule reason column.
 
     Pure native expressions (split/transform/regexp_replace run JVM-side in
-    whole-stage codegen) — a per-row map with NO shuffle. Expression
+    whole-stage codegen) — a per-row map with no inherent shuffle
+    (_spread adds one input-spread exchange only when the scan arrives under-split — identity at cluster scale; see _spread). Expression
     builders shared with the batch curation pipeline (operators/curation.py)
     so the audited filter IS the applied filter."""
     from minhash_spark.operators.curation import code_file_stats, code_filter_reason
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     s = code_file_stats(F.col("text"))
     reason = code_filter_reason(F.col("text"))
     return docs.select(
@@ -2203,11 +2234,12 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     secrets, and IPv4 literals, and emit ``redacted_text`` with each match
     replaced by a typed placeholder. Entirely native ``regexp_extract_all``
     / ``regexp_replace`` (JVM regex inside codegen — a pure per-row map, no
-    UDF, no shuffle); patterns live in the Java-regex ∩ RE2 subset so the
+    UDF, no inherent shuffle (_spread adds one input-spread exchange only when the scan arrives under-split — identity at cluster scale; see _spread));
+    patterns live in the Java-regex ∩ RE2 subset so the
     DuckDB oracle runs the identical pattern text (operators/curation.py)."""
     from minhash_spark.operators.curation import redact_secrets, secret_counts
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     counts = secret_counts(F.col("text"))
     red = redact_secrets(F.col("text"))
     total = None
@@ -2295,7 +2327,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join shape this uses — no all-pairs, no driver sets)."""
     from minhash_spark.operators.collections import collection_overlap
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("source", "text"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     terms = docs.select(F.col("source"), F.explode(toks).alias("term"))
     return collection_overlap(terms, "source", "term").select(
@@ -2456,7 +2488,7 @@ def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_of = lambda i: F.array_join(  # noqa: E731
         F.slice(F.col("w"), (i * PASSAGE_TOKENS + 1).cast("int"), PASSAGE_TOKENS), " "
     )
-    tokenized = docs.select("doc_id", w.alias("w"))
+    tokenized = _spread(docs.select("doc_id", "text")).select("doc_id", w.alias("w"))
     per_doc = tokenized.select("doc_id", n_chunks.alias("n_chunks"))
     chunks = tokenized.select(
         "doc_id", F.posexplode(F.transform(idxs, chunk_of)).alias("pos", "chunk")
@@ -2489,14 +2521,15 @@ def q_word_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-unigram Shannon entropy + type-token ratio — the low-entropy /
     low-TTR rows are template spam and keyboard mash that the ratio-based
     quality_scores miss. Entirely in-row (transform/filter/aggregate over
-    the token array): zero shuffle, fused into the scan at any scale; the
+    the token array): no inherent shuffle, fused into the scan at any
+    scale (_spread adds one input-spread exchange only when the scan arrives under-split — identity at cluster scale; see _spread); the
     O(n·d) distinct-count loop is bounded by per-row token counts, not
     corpus size.
 
     entropy is rounded to 6 dp on BOTH engines (float sums accumulate in
     engine-specific order — the cos_sim rounding pattern); ttr is one exact
     int/int division (bit-stable, no rounding needed)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     w = F.split(F.trim(F.col("text")), r"\s+")
     d = docs.select("doc_id", w.alias("w")).select(
         "doc_id",
@@ -2686,13 +2719,14 @@ def q_repeated_substring_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram ratios cap at fixed n). High repeat_ratio = minified bundles,
     log spam, copy-pasted blocks.
 
-    Scale shape: Arrow-batched mapInPandas, one partition-local pass — no
-    shuffle, no UDF joins; per-row cost O(len log len). Rows-only: suffix
+    Scale shape: Arrow-batched mapInPandas, one partition-local pass with
+    no inherent shuffle (_spread adds one input-spread exchange only when the scan arrives under-split — identity at cluster scale; see _spread),
+    no UDF joins; per-row cost O(len log len). Rows-only: suffix
     arrays are not DuckDB-expressible; construction + LCP are pinned against
     a brute-force oracle by pytest (tests/test_suffix.py)."""
     import pandas as pd  # noqa: F401
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -2879,7 +2913,7 @@ def q_compression_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: DuckDB has no zlib; the exact byte counts are pinned against
     direct zlib.compress in pytest. ratio = compressed/raw rounded 4 dp
     (per-row expression — partition-invariant)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -2939,7 +2973,7 @@ def _perceptual_dedup(spark, sf_dir, kernel, hex_col: str) -> DataFrame:
                 }
             )
 
-    hashes = verify.barrier(docs.mapInPandas(hash_batches, "doc_id long, phash long"))
+    hashes = verify.barrier(_spread(docs).mapInPandas(hash_batches, "doc_id long, phash long"))
     return (
         perceptual.hamming_neighbor_stats(hashes, media.PHASH_HAM_MAX)
         .select(
@@ -3357,7 +3391,7 @@ def q_repo_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("source", "text")
     mins = minhash_mins_udf(REPO_CFG)
-    per_file = docs.select("source", mins(F.col("text")).alias("mins"))
+    per_file = _spread(docs).select("source", mins(F.col("text")).alias("mins"))
     merged = repo.merge_minima(per_file, "source")
     bands = bands_from_mins_udf(REPO_CFG)
     # barriers on the two multi-consumer lineages: candidate_pairs consumes
@@ -3430,21 +3464,30 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle sees identical keys."""
     docs = load(spark, sf_dir, "documents")
     spans = _doc_spans(docs, NOVELTY_N)
-    first = spans.groupBy("span").agg(F.min("doc_id").alias("first_doc"))
-    joined = spans.join(first, "span")
+    # r6: the span table used to be joined BACK against its own first-owner
+    # aggregate (a second corpus-sized span shuffle). Both outputs are
+    # per-doc counts, so derive them without the join-back: a doc's n_spans
+    # is a plain groupBy(doc_id) over its (distinct) spans, and its n_novel
+    # is the number of spans whose min-owner is this doc — i.e. a count over
+    # first_doc. One corpus-span exchange instead of three (the join moved
+    # the span table twice more); 2 Exchange of span-sized data -> 1.
+    per_doc = spans.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_spans"))
+    novel = (
+        spans.groupBy("span")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
     return (
-        joined.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_spans"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
-            .cast("long")
-            .alias("n_novel"),
-        )
+        per_doc.join(novel, "doc_id", "left")
         .select(
             "doc_id",
             "n_spans",
-            "n_novel",
-            (F.col("n_novel").cast("double") / F.col("n_spans")).alias("novelty"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            (
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_spans")
+            ).alias("novelty"),
         )
     )
 
@@ -3548,7 +3591,7 @@ def q_normalized_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from minhash_spark.operators.clones import clone_keys
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     keys = clone_keys(F.col("text"))
     keyed = docs.select("doc_id", keys["t1_sha"].alias("t1_sha"), keys["t2_sha"].alias("t2_sha"))
     w1 = Window.partitionBy("t1_sha")
@@ -3580,7 +3623,7 @@ def q_clone_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
     count."""
     from minhash_spark.operators.clones import clone_keys
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     keys = clone_keys(F.col("text"))
     keyed = docs.select(
         "doc_id",

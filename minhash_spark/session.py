@@ -51,6 +51,22 @@ def build_session(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
+        # Scan-split sizing for CPU-dense per-byte work (sha256 / kernel /
+        # decode UDFs fused into scans): the default 128 MB splits + 4 MB
+        # open cost pack this engine's ~1 MB stage files into a handful of
+        # scan tasks, serializing work that should fan out (guide §2.5
+        # "input skew"). Parameterized for cluster submitters — plain
+        # sequential-scan ETL at 100 TB wants these LARGER (guide §6), but
+        # every scan here feeds hash/kernel-dense maps where ~4 MB of input
+        # is already >100 ms of CPU per task.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "1m"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
