@@ -49,6 +49,37 @@ def distinct_contents(files_with_id: DataFrame, num_partitions: int | None = Non
     )
 
 
+def rep_id_set(files_with_id: DataFrame) -> DataFrame:
+    """The exact-dup representative DECISION on metadata only: one
+    ``rep_id`` (= min file_id) per distinct content_sha256.
+
+    Shuffles (content_sha256, file_id) — ~130 B/row — instead of the
+    multi-KB content column: the decision of which rows survive P3 never
+    needed the payload (guide §8: decide with small rows)."""
+    return (
+        files_with_id.select("content_sha256", "file_id")
+        .groupBy("content_sha256")
+        .agg(F.min("file_id").alias("rep_id"))
+        .select("rep_id")
+    )
+
+
+def representatives_by_id(files_with_id: DataFrame, rep_set: DataFrame) -> DataFrame:
+    """Attach the rep decision back to the scan WITHOUT moving content: a
+    broadcast join on file_id keeps exactly the representative rows where
+    they were read, so the kernel runs fused into the scan and content
+    never crosses an exchange (guide §8 'broadcast the plan' — the
+    replaced shape shuffled every content byte under the dedup groupBy).
+
+    Precondition: file_id is unique per row (it is the row identity —
+    sha256 of (repo, path, commit)). Caller guards the broadcast size;
+    above the threshold the content-shuffle path (distinct_contents) is
+    the correct fallback."""
+    return files_with_id.join(
+        F.broadcast(rep_set), files_with_id["file_id"] == rep_set["rep_id"]
+    ).select("content_sha256", "rep_id", "content")
+
+
 def compute_signatures(
     reps: DataFrame, cfg: MinHashConfig, exclude_sorted=None, spread: bool = True
 ) -> DataFrame:
