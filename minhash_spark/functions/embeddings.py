@@ -40,7 +40,12 @@ def ann_bucket_udf(n_tables: int = ANN_TABLES, n_bits: int = ANN_BITS, dim: int 
         keys += (np.arange(n_tables, dtype=np.int64) << np.int64(n_bits))[None, :]
         return pd.Series(list(keys))
 
-    return _udf
+    # values are fully deterministic (seeded family); the marking is an
+    # optimizer hint only — exploding the bucket array plants an implicit
+    # size>0 filter that otherwise gets pushed below the projection and
+    # evaluates the L*b matmul UDF TWICE per row (guide §4.4, observed as
+    # stacked ArrowEvalPython pairs in the r6 ann_lsh plan capture)
+    return _udf.asNondeterministic()
 
 
 def cosine_col(a, b):

@@ -344,7 +344,11 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = cand.withColumn("hamming", hamming).where(F.col("hamming") <= 3)
     docs_a = docs.select(F.col("doc_id").alias("a_id"), F.col("text").alias("content_a"))
     docs_b = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("content_b"))
-    jac = jaccard_udf(DOC_CFG)
+    # non-deterministic marking: without it the optimizer pushes the 0.8
+    # filter below the projection and evaluates the tokenizing UDF TWICE —
+    # once under the filter, again for the output column (guide §4.4;
+    # observed as two ArrowEvalPython nodes in the r6 plan capture)
+    jac = jaccard_udf(DOC_CFG).asNondeterministic()
     return (
         near.join(docs_a, "a_id")
         .join(docs_b, "b_id")
@@ -1726,6 +1730,10 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = np.argsort(-sims, axis=1)[:, :IVF_NPROBE].astype(np.int32)
         return pd.Series(list(order))
 
+    # deterministic values; optimizer hint only — stops the §4.4 double
+    # evaluation around the explode's implicit size>0 filter
+    probe_cells = probe_cells.asNondeterministic()
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -1789,6 +1797,9 @@ def q_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = Vn @ C.T
         order = np.argsort(-sims, axis=1).astype(np.int32)  # ALL cells, ranked
         return pd.Series(list(order))
+
+    # deterministic values; optimizer hint only (guide §4.4, as above)
+    cell_order = cell_order.asNondeterministic()
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
