@@ -68,19 +68,21 @@ def candidate_pairs(
     """
     if sizes is None:
         sizes = bucket_stats(buckets, key_col)
-    overflow = sizes.where(F.col("bucket_size") > max_bucket_size)
-    # materialize the (tiny) overflow key set once: it feeds FOUR broadcast
-    # consumers below (both anti-join sides of the self-join, the star
-    # semi-join, and the star-rep groupBy), and without the barrier each
-    # broadcast build re-runs the full bucket-stats aggregate — i.e. four
-    # shuffles of the corpus-sized bucket table instead of one (observed as
-    # 4 duplicated Generate->HashAggregate->Exchange subtrees in the
-    # simhash/near-dup plans). The barrier costs one job over data already
-    # reduced to the overflow keys.
+    # materialize the (tiny) overflow stats rows once: they feed FOUR
+    # broadcast consumers below (both anti-join sides of the self-join, the
+    # star semi-join, the star-rep groupBy) plus the caller's overflow
+    # metrics, and without the barrier each consumer re-runs the full
+    # bucket-stats aggregate — i.e. four-plus shuffles of the corpus-sized
+    # bucket table instead of one (observed as 4 duplicated
+    # Generate->HashAggregate->Exchange subtrees in the simhash/near-dup
+    # plans). Barriering the post-filter rows (hundreds, not |buckets|)
+    # also lets the pipeline drop its full-width bucket_stats barrier —
+    # the one stats aggregation runs inside this barrier build and only
+    # the overflow survivors are ever materialized.
     from minhash_spark.operators.verify import barrier
 
-    over_keys_set = barrier(overflow.select(key_col))
-    over_keys = F.broadcast(over_keys_set)
+    overflow = barrier(sizes.where(F.col("bucket_size") > max_bucket_size))
+    over_keys = F.broadcast(overflow.select(key_col))
     ok = buckets.join(over_keys, key_col, "left_anti")
     a = ok.alias("a")
     b = ok.alias("b")

@@ -249,14 +249,12 @@ class DedupPipeline:
             # checkpoint — computed inline, not persisted (a checkpoint would
             # add a write+read of |sigs| x num_bands rows with no resume value)
             buckets = lsh.explode_buckets(sigs)
-            # bucket stats feed the overflow metrics action AND the pair
-            # topology; materialize them once instead of running the explode
-            # + count aggregation twice (once for .first(), once inside the
-            # candidate-pair plan)
-            sizes = verify.barrier(lsh.bucket_stats(buckets))
-            pairs, overflow = lsh.candidate_pairs(
-                buckets, cfg.max_bucket_size, sizes=sizes
-            )
+            # candidate_pairs materializes the post-filter overflow rows
+            # itself (r6: the stats aggregation runs once inside that
+            # barrier build; only the few overflow survivors are ever
+            # checkpointed — the r6-wave-1 full-width bucket_stats barrier
+            # materialized |buckets| stats rows for the same information)
+            pairs, overflow = lsh.candidate_pairs(buckets, cfg.max_bucket_size)
             # 1-row aggregate, not collect(): overflow can be wide under
             # pathological skew and must never land row-by-row on the driver
             over = overflow.agg(
