@@ -100,7 +100,17 @@ def _spread(df: DataFrame) -> DataFrame:
     Adaptive: when the scan already yields >= defaultParallelism partitions
     (any real cluster-scale input), this is an identity — the repartition
     only fires for under-split inputs, so no corpus-sized shuffle is ever
-    added at scale. The planning probe (getNumPartitions) runs no job."""
+    added at scale. The planning probe (getNumPartitions) runs no job.
+
+    Applied PER SITE on measurement, not blanket (r6 A/B at sf0.1): it
+    wins where per-row CPU dominates (the 128-seed kernel family, suffix
+    arrays, word-entropy's O(n·d) in-row loop — up to 4x) and LOSES where
+    the next operator is a groupBy over shared keys (span/term explodes,
+    source rollups): spreading the 1-task scan first duplicates every hot
+    key's partial-agg state across all partitions and the shuffle grows
+    ~(partitions)x for boilerplate keys (guide §2.3 "aggregate before you
+    shuffle" — the spread put the aggregation AFTER a pointless fan-out).
+    Sites that lost it carry their measured numbers in comments."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
         return df
@@ -312,7 +322,11 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = simhash_udf(DOC_CFG)
     # simhash per doc is tiny (id + one long); localCheckpoint so the kernel
     # runs once — it feeds both the band explode and the per-side join-back
-    s = _spread(docs).select("doc_id", sh(F.col("text")).alias("simhash")).transform(verify.barrier)
+    # no _spread: measured 1.39 s vs 2.22 s at sf0.1 — the candidate-join
+    # machinery downstream dominates and the spread exchange only duplicates
+    # partial-agg state across tiny partitions (identity at cluster scale
+    # anyway; r6 per-site A/B, see OPTIMIZATION_r06.md §1)
+    s = docs.select("doc_id", sh(F.col("text")).alias("simhash")).transform(verify.barrier)
     # band index folded into one long key (idx*2^16 + 16-bit band value) so a
     # single long column shuffles — same trick as the MinHash band_hash
     bands = s.select(
@@ -644,7 +658,14 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucketed = emb.withColumn("buckets", _ann_bucket_udf()(F.col("v")))
     table = bucketed.select("vec_id", "v", F.explode("buckets").alias("bucket"))
-    q = bucketed.where(F.col("vec_id") < 10).select(
+    # filter BEFORE the bucket UDF: the UDF is non-deterministic-marked
+    # (see ann_bucket_udf — kills the §4.4 double-eval), which also stops
+    # the optimizer pushing this filter below it; applying it to `emb`
+    # directly keeps the query side at ~10 UDF rows with the predicate in
+    # the scan's PushedFilters
+    q = emb.where(F.col("vec_id") < 10).withColumn(
+        "buckets", _ann_bucket_udf()(F.col("v"))
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.explode("buckets").alias("bucket"),
     )
@@ -1428,7 +1449,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {k: pd.array(out[k], dtype="string" if k == "mime" else "Int64") for k in cols}
             )
 
-    return _spread(docs).mapInPandas(extract, schema=schema)
+    # no _spread: decode cost here measured below the exchange cost at
+    # sf0.1 (r6 per-site A/B: 0.43 s vs 0.47 s); identity at scale
+    return docs.mapInPandas(extract, schema=schema)
 
 
 MM_FRAME_SAMPLES = 4  # frames sampled per video (at offsets i * n_frames / K)
@@ -1559,7 +1582,11 @@ def _doc_spans(docs: DataFrame, n: int) -> DataFrame:
         f"ELSE array_distinct(transform(sequence(0, size(w)-{n}), "
         f"i -> concat_ws(' ', {parts}))) END"
     )
-    return _spread(docs.select("doc_id", "text")).select(
+    # no _spread: every consumer immediately groupBys the exploded spans,
+    # and spreading the 1-task scan first duplicates each hot span's
+    # partial-agg row across 64 partitions — measured 1.0-1.2 s vs
+    # 2.2-2.3 s for boilerplate/novelty at sf0.1 (identity at scale)
+    return docs.select("doc_id", "text").select(
         "doc_id", F.expr("regexp_extract_all(text, '[0-9A-Za-z_]+', 0)").alias("w")
     ).select("doc_id", F.explode(spans).alias("span"))
 
@@ -2013,8 +2040,10 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _fingerprint_udf()
     # materialize once: the fingerprint set feeds the df branch AND both
     # sides of the pair self-join — without this the kernel UDF runs 3x
+    # no _spread: the df-cap/self-join tail groupBys on f right after the
+    # explode; measured 1.46 s vs 3.52 s for fingerprint_matches at sf0.1
     fps = (
-        _spread(docs.select("doc_id", "text"))
+        docs.select("doc_id", "text")
         .select("doc_id", F.explode(fp(F.col("text"))).alias("f"))
         .transform(verify.barrier)
     )
@@ -2049,7 +2078,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_of = lambda i: F.array_join(  # noqa: E731
         F.slice(F.col("w"), (i * PASSAGE_TOKENS + 1).cast("int"), PASSAGE_TOKENS), " "
     )
-    tokenized = _spread(docs.select("doc_id", "text")).select("doc_id", w.alias("w"))
+    tokenized = docs.select("doc_id", "text").select("doc_id", w.alias("w"))
     per_doc = tokenized.select("doc_id", n_chunks.alias("n_chunks"))
     chunks = tokenized.select("doc_id", F.explode(F.transform(idxs, chunk_of)).alias("chunk"))
     solo = (
@@ -2079,8 +2108,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode -> (doc_id, term) partial-aggregable groupBy ->
     term-level df from the already-reduced tf table -> equi-join on term ->
     per-doc window top-k. The window partitions by doc_id (no global sort);
-    df is NOT broadcast — at web scale the vocabulary is huge."""
-    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    df is NOT broadcast — at web scale the vocabulary is huge.
+    No _spread: measured 0.81 s vs 2.80 s at sf0.1 — spreading the 1-task
+    scan duplicates every shared term's partial-agg row across 64
+    partitions (identity at cluster scale; r6 per-site A/B)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     t = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
     )
@@ -2117,8 +2149,10 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two partial-aggregable groupBys over (doc_id, term) and
     (term); the corpus-total is a 1-row aggregate broadcast by crossJoin
-    (one scalar, not data); the term-count join is a shuffle equi-join."""
-    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    (one scalar, not data); the term-count join is a shuffle equi-join.
+    No _spread: measured 0.67 s vs 1.62 s at sf0.1 (partial-agg
+    duplication; identity at cluster scale)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     t = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
     )
@@ -2313,7 +2347,7 @@ def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the audited filter IS the applied filter."""
     from minhash_spark.operators.curation import code_file_stats, code_filter_reason
 
-    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     s = code_file_stats(F.col("text"))
     reason = code_filter_reason(F.col("text"))
     return docs.select(
@@ -2426,7 +2460,9 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join shape this uses — no all-pairs, no driver sets)."""
     from minhash_spark.operators.collections import collection_overlap
 
-    docs = _spread(load(spark, sf_dir, "documents").select("source", "text"))
+    # no _spread: collection_overlap groupBys the exploded terms straight
+    # away (measured 1.10 s vs 1.41 s at sf0.1; identity at scale)
+    docs = load(spark, sf_dir, "documents").select("source", "text")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     terms = docs.select(F.col("source"), F.explode(toks).alias("term"))
     return collection_overlap(terms, "source", "term").select(
@@ -2587,7 +2623,7 @@ def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_of = lambda i: F.array_join(  # noqa: E731
         F.slice(F.col("w"), (i * PASSAGE_TOKENS + 1).cast("int"), PASSAGE_TOKENS), " "
     )
-    tokenized = _spread(docs.select("doc_id", "text")).select("doc_id", w.alias("w"))
+    tokenized = docs.select("doc_id", "text").select("doc_id", w.alias("w"))
     per_doc = tokenized.select("doc_id", n_chunks.alias("n_chunks"))
     chunks = tokenized.select(
         "doc_id", F.posexplode(F.transform(idxs, chunk_of)).alias("pos", "chunk")
@@ -3011,8 +3047,10 @@ def q_compression_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     C-speed per row, no shuffle, no joins; the scan prunes to two columns.
     Rows-only: DuckDB has no zlib; the exact byte counts are pinned against
     direct zlib.compress in pytest. ratio = compressed/raw rounded 4 dp
-    (per-row expression — partition-invariant)."""
-    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    (per-row expression — partition-invariant). No _spread: measured
+    0.25 s vs 0.48 s at sf0.1 (zlib over ~600 KB is cheaper than the
+    exchange; identity at cluster scale)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -3072,7 +3110,10 @@ def _perceptual_dedup(spark, sf_dir, kernel, hex_col: str) -> DataFrame:
                 }
             )
 
-    hashes = verify.barrier(_spread(docs).mapInPandas(hash_batches, "doc_id long, phash long"))
+    # no _spread: the codec kernels measure 0.03-0.09 ms/doc (~0.4 s
+    # serial for the whole corpus) — the spread exchange cost more than
+    # it bought (r6 A/B: image 1.02 s vs 2.13 s); identity at scale
+    hashes = verify.barrier(docs.mapInPandas(hash_batches, "doc_id long, phash long"))
     return (
         perceptual.hamming_neighbor_stats(hashes, media.PHASH_HAM_MAX)
         .select(
@@ -3490,7 +3531,10 @@ def q_repo_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("source", "text")
     mins = minhash_mins_udf(REPO_CFG)
-    per_file = _spread(docs).select("source", mins(F.col("text")).alias("mins"))
+    # no _spread: merge_minima groupBys per source immediately — the
+    # spread exchange duplicated 128-long partial minima per partition
+    # (measured 2.12 s vs 4.28 s at sf0.1; identity at scale)
+    per_file = docs.select("source", mins(F.col("text")).alias("mins"))
     merged = repo.merge_minima(per_file, "source")
     bands = bands_from_mins_udf(REPO_CFG)
     # barriers on the two multi-consumer lineages: candidate_pairs consumes
@@ -3690,7 +3734,9 @@ def q_normalized_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from minhash_spark.operators.clones import clone_keys
 
-    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    # no _spread: the regexp chains fuse into the scan and the sha-key
+    # groupBy follows at once (r6 A/B: 0.87/0.91 s vs 1.12/1.65 s)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     keys = clone_keys(F.col("text"))
     keyed = docs.select("doc_id", keys["t1_sha"].alias("t1_sha"), keys["t2_sha"].alias("t2_sha"))
     w1 = Window.partitionBy("t1_sha")
@@ -3722,7 +3768,9 @@ def q_clone_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
     count."""
     from minhash_spark.operators.clones import clone_keys
 
-    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    # no _spread: the regexp chains fuse into the scan and the sha-key
+    # groupBy follows at once (r6 A/B: 0.87/0.91 s vs 1.12/1.65 s)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     keys = clone_keys(F.col("text"))
     keyed = docs.select(
         "doc_id",
