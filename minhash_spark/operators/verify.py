@@ -93,17 +93,21 @@ def verify_pairs(
         # containment pairs (small file inside big) can have arbitrarily low
         # Jaccard, so the signature estimate cannot prefilter them
         p_min = 0.0
-    # materialize candidates once: measured load-bearing (removing this
-    # barrier tripled the edges-stage wall at local[8]) — the checkpoint both
-    # stops the bucket-stats broadcast subquery re-running inside the big
-    # verify job and gives AQE exact sizes to plan the downstream signature
-    # joins as broadcasts
-    pairs = barrier(pairs)
+    # r5 materialized the candidate pairs here unconditionally ("removing
+    # this barrier tripled the edges-stage wall at local[8]") — that cost
+    # came from the bucket-stats broadcast subquery re-running inside the
+    # big verify job, which lsh.candidate_pairs now prevents by
+    # materializing the overflow stats itself (r6). With that fixed, the
+    # prefilter path has exactly ONE consumer of the candidate plan (the
+    # signature join below), so checkpointing |candidates| rows first is
+    # pure cost — measured 1-1.3 s/run slower at bench scale. Containment
+    # mode still materializes: there `pairs` IS the survivor set and
+    # feeds three downstream references.
     if p_min <= 0.0:
         # the prefilter is a guaranteed no-op (containment mode): skip the
         # two signature joins + bitmatch pass entirely instead of paying
         # them to keep 100% of rows
-        survivors = pairs
+        survivors = barrier(pairs)
     else:
         joined = pairs.join(
             sigs.select(F.col("rep_id").alias("a_id"), F.col("sig").alias("sig_a")), "a_id"
