@@ -44,7 +44,10 @@ def _driver_evidence_rounds() -> dict[str, int]:
     latest: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"_r(\d+)", os.path.basename(f)).group(1))
+        m = re.search(r"_r(\d+)", os.path.basename(f))
+        if m is None:  # stray non-round file (CORRECTNESS_rerun.json, ...)
+            continue
+        rnd = int(m.group(1))
         try:
             rows = json.load(open(f))
         except (OSError, ValueError):

@@ -56,6 +56,7 @@ class DedupPipeline:
         io: TableIO,
         cfg: MinHashConfig,
         cc_driver_threshold: int | None = None,
+        assume_unique_rows: bool = True,
     ):
         self.spark = spark
         self.io = io
@@ -63,6 +64,17 @@ class DedupPipeline:
         self.chash = cfg.config_hash()
         self.stages: list[StageResult] = []
         self._input_fp: str | None = None  # set per run() from the files df
+        # the zero-content-shuffle broadcast-rep signatures path keeps every
+        # scan row whose file_id is a representative, so it requires the
+        # files table to be unique by its natural key (repo, path, commit) —
+        # duplicate rows would yield duplicate signature rows where the
+        # shuffle path's groupBy collapses them. That uniqueness is the
+        # files-table contract everywhere in this engine, and validating it
+        # costs a corpus metadata aggregate per run (~1 s at bench scale,
+        # measured), so it is asserted by CONTRACT, not by job: callers that
+        # cannot guarantee uniqueness pass assume_unique_rows=False to force
+        # the duplicate-collapsing content-shuffle path.
+        self.assume_unique_rows = assume_unique_rows
         # edge-count at/below which connected components solve on the driver
         # (None = components.connected_components' default). Settable so a
         # cluster submitter can force the distributed large/small-star path
@@ -179,7 +191,7 @@ class DedupPipeline:
 
         def build_signatures():
             with_id = signatures.with_identity(files)
-            if n_files <= REP_BROADCAST_MAX_FILES:
+            if n_files <= REP_BROADCAST_MAX_FILES and self.assume_unique_rows:
                 # ZERO content shuffles: the rep decision is made on the
                 # (content_sha256, file_id) metadata aggregate and broadcast
                 # back onto the scan, so the kernel runs fused into the scan
@@ -193,6 +205,22 @@ class DedupPipeline:
                 reps = signatures.representatives_by_id(
                     with_id, signatures.rep_id_set(with_id)
                 )
+                # on this path the kernel UDF runs FUSED into the scan, so
+                # its parallelism is the scan's split width. session.py's
+                # 4 MB maxPartitionBytes guarantees a wide scan for the
+                # bench corpus, but DedupPipeline must not depend on who
+                # built the session: if the input arrives badly under-split
+                # (default 128 MB splits, or a few huge unsplittable files
+                # on a big cluster — guide §2.5), pay ONE round-robin
+                # content exchange to feed the CPU-bound kernel rather than
+                # run it on a handful of tasks. The probe plans no job, and
+                # "within 2x of defaultParallelism" keeps this an identity
+                # on any reasonably-split input (bench: 64 scan partitions
+                # vs parallelism 64 — no exchange added).
+                spread = (
+                    files.rdd.getNumPartitions() * 2
+                    < self.spark.sparkContext.defaultParallelism
+                )
             else:
                 # huge corpora: the metadata aggregate no longer broadcasts;
                 # one content shuffle under the dedup groupBy, pre-spread
@@ -200,6 +228,7 @@ class DedupPipeline:
                 # co-keyed operations)
                 par = self.spark.sparkContext.defaultParallelism
                 reps = signatures.distinct_contents(with_id, num_partitions=par)
+                spread = False  # distinct_contents pre-partitioned wide
             metrics: dict = {
                 "excluded_shingles": 0 if exclude is None else int(len(exclude)),
                 # signature-relevant config identity (kernel + banding only):
@@ -209,7 +238,7 @@ class DedupPipeline:
             }
             if prev_signatures is None:
                 sigs = signatures.compute_signatures(
-                    reps, cfg, exclude_sorted=exclude, spread=False
+                    reps, cfg, exclude_sorted=exclude, spread=spread
                 )
                 return sigs, metrics
             # snapshot carry-forward (north rule's daily-crawl shape): a

@@ -716,12 +716,21 @@ def _pair_cosine_udf(spark: SparkSession, emb: DataFrame):
     (float32 inputs cast up, products exact in double; summation-order
     differences are ~1e-15 relative, invisible at the 4dp rounding — the
     same argument the oracle comparison already relies on), verified
-    row-identical against the join path on every SF."""
-    rows = emb.select("vec_id", "v").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    row-identical against the join path on every SF.
+
+    Driver/worker memory at the cap (SPARK_GRAFT_EMB_MATRIX_MAX, default
+    500k x 64-dim): the Arrow toPandas transfer builds ~2x the 256 MB
+    float64 matrix transiently on the driver (a Row-object collect here
+    cost >1 GB — ~2 KB per materialized Row), and the pickled broadcast
+    is deserialized once per PYTHON WORKER, so the steady-state cost is
+    n_workers x matrix bytes (~8 GB RSS at 32 workers at the cap) — that,
+    not the driver copy, is what the cap must respect: size it as
+    worker_count x vectors x dims x 8 B against executor memory."""
+    pdf = emb.select("vec_id", "v").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]
-    M = np.array([r["v"] for r in rows], dtype=np.float64)[order]
+    M = np.vstack(pdf["v"].to_numpy())[order].astype(np.float64, copy=False)
     norms = np.sqrt((M * M).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, M, norms))
 
@@ -2341,10 +2350,12 @@ def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     autogenerated) with an auditable first-failing-rule reason column.
 
     Pure native expressions (split/transform/regexp_replace run JVM-side in
-    whole-stage codegen) — a per-row map with no inherent shuffle
-    (_spread adds one input-spread exchange only when the scan arrives under-split — identity at cluster scale; see _spread). Expression
-    builders shared with the batch curation pipeline (operators/curation.py)
-    so the audited filter IS the applied filter."""
+    whole-stage codegen) — a per-row map with no inherent shuffle. _spread
+    was applied here in the r6 wave-1 sweep and REVERTED on the per-site
+    A/B (measured loss: the stats groupBys repay the extra exchange with
+    duplicated partial-agg state), so the scan's own split width stands.
+    Expression builders shared with the batch curation pipeline
+    (operators/curation.py) so the audited filter IS the applied filter."""
     from minhash_spark.operators.curation import code_file_stats, code_filter_reason
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")

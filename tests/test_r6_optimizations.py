@@ -66,3 +66,67 @@ def test_pair_cosine_matrix_matches_join_path(spark):
     )
     assert join_path.exceptAll(matrix_path).count() == 0
     assert matrix_path.exceptAll(join_path).count() == 0
+
+
+def test_duplicate_rows_fall_back_to_the_collapsing_path(spark, tmp_path):
+    """The broadcast-rep path's documented precondition — files unique by
+    (repo, path, commit) — is a CONTRACT, not a runtime check (validating
+    it costs a corpus metadata aggregate per run). Callers with dirty
+    input pass assume_unique_rows=False: the pipeline then takes the
+    content-shuffle groupBy, which collapses duplicate rows exactly like
+    r5 did, and the final cluster table matches a run over the
+    de-duplicated input."""
+    from minhash_spark.config import MinHashConfig
+    from minhash_spark.plans.pipeline import DedupPipeline
+    from minhash_spark.sources.io import TableIO
+
+    cfg = MinHashConfig(
+        seed=0, size=128, bit=1, scheme="kseed",
+        tokenizer="char_shingle", tokenizer_params={"k": 9},
+        verify_threshold=0.8,
+    )
+    rows = [
+        ("r1", "a.py", "c1", "py", "alpha content body " * 4),
+        ("r1", "a.py", "c1", "py", "alpha content body " * 4),  # exact dup ROW
+        ("r2", "b.py", "c2", "py", "beta content body " * 4),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    dirty = spark.createDataFrame(rows, schema)
+    clean = dirty.dropDuplicates(["repo", "path", "commit"])
+
+    out_dirty = DedupPipeline(
+        spark, TableIO(str(tmp_path / "dirty")), cfg, assume_unique_rows=False
+    ).run(dirty, input_fp="dirty")
+    out_clean = DedupPipeline(
+        spark, TableIO(str(tmp_path / "clean")), cfg
+    ).run(clean, input_fp="clean")
+
+    # duplicate input rows still appear in clusters_all (per-row identity),
+    # but exactly once per DISTINCT row identity in the signature/cluster
+    # tables: the per-file (file_id -> cluster) assignment matches the
+    # clean run's
+    a = {(r["file_id"], r["cluster_id"]) for r in out_dirty.collect()}
+    b = {(r["file_id"], r["cluster_id"]) for r in out_clean.collect()}
+    assert a == b
+    sigs = spark.read.parquet(str(tmp_path / "dirty" / "signatures"))
+    assert sigs.count() == sigs.select("content_sha256").distinct().count()
+
+
+def test_stray_correctness_file_does_not_break_queries(tmp_path, monkeypatch):
+    """CORRECTNESS_r*.json glob hits with no round digits (editor backups,
+    CORRECTNESS_rerun.json) must be skipped, not crash the driver window
+    rotation at queries() time."""
+    import shutil
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    root = Path(entry.__file__).parent
+    stray = root / "CORRECTNESS_rerun.json"
+    assert not stray.exists()
+    try:
+        stray.write_text("{}")
+        q = entry.queries()
+        assert len(q) >= 92
+    finally:
+        stray.unlink()
