@@ -1874,8 +1874,13 @@ def q_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweeps = spark.createDataFrame(
         [(int(p),) for p in ANN_CURVE_NPROBES], "nprobe int"
     )
+    # the sweep spine is a handful of literal rows but arrives as an
+    # ExistingRDD with no size stats, so without the hint the planner
+    # chooses CartesianProduct (left-partitions x right-partitions tasks)
+    # instead of replicating the tiny side (seen in the committed r6 plan
+    # capture); broadcast pins BroadcastNestedLoopJoin at any scale
     recall = (
-        sweeps.crossJoin(ranked)
+        F.broadcast(sweeps).crossJoin(ranked)
         .groupBy("nprobe")
         .agg(
             F.count("*").cast("long").alias("n_true_pairs"),
@@ -1891,7 +1896,7 @@ def q_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the materialized barrier, not a fresh corpus scan + UDF pass.
     n_queries = assigned.where(F.col("vec_id") < 10).count()
     cost = (
-        sweeps.crossJoin(probe_cost)
+        F.broadcast(sweeps).crossJoin(probe_cost)
         .where(F.col("pos") < F.col("nprobe"))
         .groupBy("nprobe")
         .agg((F.sum("cell_n") / F.lit(n_queries)).alias("mean_scanned"))
