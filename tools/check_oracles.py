@@ -301,6 +301,7 @@ def _inv_profile(sdf, con):
 
 
 INVARIANTS = {
+    "approx_corpus_profile": _inv_profile,
     "simhash_near_dup_pairs": _inv_simhash,
     "minhash_bitstrings": _inv_bitstrings,
     "doc_fingerprints": _inv_doc_fingerprints,
