@@ -3618,11 +3618,28 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-gram spans are ~unique otherwise so the exchange is ~|corpus spans|
     — the same volume every span query here shuffles), one join back on
     span, one groupBy(doc_id). At production scale the span string is
-    replaced by its 128-bit hash before the shuffle (winnowing ships
-    fingerprints for the same reason); the sandbox keeps strings so the
-    DuckDB oracle sees identical keys."""
+    replaced by its hash before the shuffle (winnowing ships fingerprints
+    for the same reason) — implemented and measured as
+    ``novelty_scores_frame(docs, spans_hashed=True)``; the DECLARED query
+    keeps strings so the DuckDB oracle sees identical keys."""
     docs = load(spark, sf_dir, "documents")
+    return novelty_scores_frame(docs)
+
+
+def novelty_scores_frame(docs: DataFrame, spans_hashed: bool = False) -> DataFrame:
+    """Body of X75, shared by the declared query (``spans_hashed=False`` —
+    the DuckDB oracle must see identical string keys) and the PRODUCTION
+    shape (``spans_hashed=True``: the 13-gram string is replaced by its
+    xxhash64 before the shuffle, so the corpus-span exchange moves 8-byte
+    keys instead of ~80-byte strings — the same reason winnowing ships
+    fingerprints). Hash mode is exact up to xxhash64 collisions
+    (~n^2/2^65 — ~1e-6 expected colliding pairs at 10^12 distinct spans);
+    output equality between modes on real corpora is pytest-pinned
+    (tests/test_r6_optimizations.py) and both modes' walls are recorded in
+    BENCH/novelty_hashed.json."""
     spans = _doc_spans(docs, NOVELTY_N)
+    if spans_hashed:
+        spans = spans.select("doc_id", F.xxhash64("span").alias("span"))
     # r6: the span table used to be joined BACK against its own first-owner
     # aggregate (a second corpus-sized span shuffle). Both outputs are
     # per-doc counts, so derive them without the join-back: a doc's n_spans

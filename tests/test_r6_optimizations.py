@@ -130,3 +130,17 @@ def test_stray_correctness_file_does_not_break_queries(tmp_path, monkeypatch):
         assert len(q) >= 92
     finally:
         stray.unlink()
+
+
+def test_novelty_hashed_spans_match_string_spans(spark):
+    """The production novelty shape (xxhash64 the 13-gram before the
+    corpus-span shuffle) must emit the identical (doc_id, n_spans,
+    n_novel, novelty) table as the oracle-comparable string mode on real
+    data (collisions are the only divergence mechanism, ~n^2/2^65)."""
+    from minhash_spark.plans import queries as Q
+
+    docs = Q.load(spark, "/root/testdata/sf0.001", "documents")
+    a = Q.novelty_scores_frame(docs, spans_hashed=False)
+    b = Q.novelty_scores_frame(docs, spans_hashed=True)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
