@@ -144,3 +144,28 @@ def test_novelty_hashed_spans_match_string_spans(spark):
     b = Q.novelty_scores_frame(docs, spans_hashed=True)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_surface_encodings_from_cached_bytes_match_direct_udfs(spark):
+    """q_minhash_signatures / q_minhash_bitstrings now re-encode the
+    session-cached signature BYTES instead of re-running the kernel over
+    text; the emitted strings must be byte-identical to the direct
+    text->string UDFs on real data (incl. the BitSet truncation rows)."""
+    from pyspark.sql import functions as F2
+
+    from minhash_spark.functions.udfs import minhash_b64_udf, minhash_bitstring_udf
+    from minhash_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    docs = Q.load(spark, sf, "documents").select("doc_id", "text")
+    direct_b64 = docs.select("doc_id", minhash_b64_udf(Q.DOC_CFG)(F2.col("text")).alias("sig_b64"))
+    cached_b64 = Q.q_minhash_signatures(spark, sf)
+    assert direct_b64.exceptAll(cached_b64).count() == 0
+    assert cached_b64.exceptAll(direct_b64).count() == 0
+
+    direct_bits = docs.select(
+        "doc_id", minhash_bitstring_udf(Q.DOC_CFG)(F2.col("text")).alias("sig_bits")
+    ).select("doc_id", "sig_bits", F2.length("sig_bits").cast("long").alias("n_bits"))
+    cached_bits = Q.q_minhash_bitstrings(spark, sf)
+    assert direct_bits.exceptAll(cached_bits).count() == 0
+    assert cached_bits.exceptAll(direct_bits).count() == 0
