@@ -308,11 +308,16 @@ def q_minhash_signatures_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O16 field-collapse analog: one representative doc per distinct signature.
-    No oracle: near-identical docs may legitimately share a signature."""
-    docs = _spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    b64 = minhash_b64_udf(DOC_CFG)
+    No oracle: near-identical docs may legitimately share a signature.
+
+    r6: collapses over the re-encoded session-cached signature bytes (same
+    sharing as q_minhash_signatures — one DOC_CFG kernel pass per session)."""
+    from minhash_spark import kernel
+
+    sigs = _doc_signatures(spark, sf_dir, DOC_CFG)
+    enc = _sig_encode_udf(kernel.to_base64)
     return (
-        docs.select("doc_id", b64(F.col("text")).alias("sig_b64"))
+        sigs.select(F.col("rep_id").alias("doc_id"), enc(F.col("sig")).alias("sig_b64"))
         .groupBy("sig_b64")
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_docs"))
     )
@@ -1247,15 +1252,11 @@ def q_signature_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-5 per query doc (doc_id < 10), ties by doc_id. rows-only: murmur
     signature bytes are not SQL-computable; the estimator itself is pinned
     by kernel property tests (test_kernel.py)."""
-    docs = load(spark, sf_dir, "documents")
-    from minhash_spark.functions.udfs import minhash_struct_udf
-
-    sig = minhash_struct_udf(DOC_CFG)
-    sigs = (
-        _spread(docs.select("doc_id", "text"))
-        .select("doc_id", sig(F.col("text")).alias("s"))
-        .select("doc_id", F.col("s.sig").alias("sig"))
-        .transform(verify.barrier)
+    # r6: serves from the session-cached signature table (the stored-field
+    # read is the whole point of this surface — recomputing the kernel per
+    # query contradicted the semantics it demonstrates)
+    sigs = _doc_signatures(spark, sf_dir, DOC_CFG).select(
+        F.col("rep_id").alias("doc_id"), "sig"
     )
     q = sigs.where(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("query_id"), F.col("sig").alias("qsig")
@@ -2343,16 +2344,11 @@ def q_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming incremental path uses per micro-batch. Signatures for both
     sides come from ONE kernel pass over the union (they share the config).
     """
-    from minhash_spark.functions.udfs import minhash_struct_udf
-
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = minhash_struct_udf(DOC_CFG)
-    sigs = (
-        _spread(docs)
-        .select(F.col("doc_id").alias("rep_id"), sig(F.col("text")).alias("s"))
-        .select("rep_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands"))
-        .transform(verify.barrier)
-    )
+    # r6: both sides come from the session-cached DOC_CFG signature table
+    # (the docstring's "ONE kernel pass over the union" now literally the
+    # session's one pass, shared with the whole near-dup family)
+    sigs = _doc_signatures(spark, sf_dir, DOC_CFG)
     new_b = (
         sigs.where(F.col("rep_id") < 20)
         .select(F.col("rep_id").alias("a_id"), F.explode("bands").alias("band_hash"))
