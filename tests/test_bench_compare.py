@@ -68,3 +68,32 @@ def test_first_run_extracted_from_detail_dicts():
     cur = {"q1": {"min": 0.1, "runs": [1.2, 0.1]}}
     rep = compare(prev, PREV_CANARY, cur, dict(PREV_CANARY), 1.3)
     assert rep["queries"]["q1"]["raw_ratio"] == 1.2
+
+
+def test_regression_not_absorbed_by_a_faster_current_boot():
+    # prior round benched on a DEGRADED boot (warm 2.3), current on a
+    # healthy one (warm 1.15): warm_scale = 0.5. A query whose code got
+    # 2x slower measures raw_ratio 1.0 — the old 1.0 floor on cold_scale
+    # normalized it to 1.0 and silently passed it; flooring at warm_scale
+    # restores the flag (1.0 / 0.5 = 2.0 >= threshold)
+    prev_canary = {"cold_s": 3.4, "warm_s": 2.3}
+    cur_canary = {"cold_s": 1.7, "warm_s": 1.15}
+    prev = {"regressed": 2.0, "honest": 2.0}
+    cur = {"regressed": 2.0, "honest": 1.0}  # honest got 2x faster with the VM
+    rep = compare(prev, prev_canary, cur, cur_canary, 1.3)
+    assert rep["outliers"] == ["regressed"]
+    assert rep["queries"]["honest"]["cold_normalized_ratio"] == 1.0
+
+
+def test_healthy_boot_after_degraded_prior_does_not_discount_cold():
+    # prior round's COLD canary was degraded (8.0) with warm healthy;
+    # current boot fully healthy: cold ratio 0.21 must not become the
+    # scale (it would flag honest same-speed runs) — warm_scale (1.0)
+    # floors it
+    prev_canary = {"cold_s": 8.0, "warm_s": 1.15}
+    cur_canary = {"cold_s": 1.7, "warm_s": 1.15}
+    prev = {"q1": 1.0}
+    cur = {"q1": 1.0}
+    rep = compare(prev, prev_canary, cur, cur_canary, 1.3)
+    assert rep["outliers"] == []
+    assert rep["queries"]["q1"]["cold_normalized_ratio"] == 1.0

@@ -49,9 +49,13 @@ def compare(
         return (c / p) if (c and p) else 1.0
 
     warm_scale = ratio("warm_s")
-    # never scale a query FASTER than raw: a cold canary below the prior
-    # round's would otherwise flag honest same-speed runs
-    cold_scale = max(ratio("cold_s"), warm_scale, 1.0)
+    # floor at warm_scale, NOT at 1.0: the cold bracket may never be more
+    # generous than the pure-CPU drift (a healthy boot after a degraded
+    # prior round must not hand every query a free cold discount), but it
+    # must still scale BELOW 1.0 when the whole machine got faster — a
+    # 1.0 floor would absorb any real regression up to threshold/warm_scale
+    # whenever the current boot outruns the prior one (review finding)
+    cold_scale = max(ratio("cold_s"), warm_scale)
 
     rows, outliers = {}, []
     for name, pv in sorted(prev_q.items()):

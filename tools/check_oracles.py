@@ -130,13 +130,16 @@ def _inv_bitstrings(sdf, con):
     bad = []
     if len(sdf) != _n_docs(con):
         bad.append("row count != documents count")
-    if not ((sdf["n_bits"] > 0) & (sdf["n_bits"] <= 128) & (sdf["n_bits"] % 8 == 0)).all():
+    s = sdf.dropna(subset=["sig_bits"])  # null-content docs emit null rows
+    if len(s) and not (
+        (s["n_bits"] > 0) & (s["n_bits"] <= 128) & (s["n_bits"] % 8 == 0)
+    ).all():
         bad.append("n_bits outside (0,128] or not byte-aligned")
-    if int(sdf["n_bits"].max()) != 128:
+    if len(s) and int(s["n_bits"].max()) != 128:
         bad.append("no doc packs to the full 128 bits (size*bit)")
-    if not (sdf["sig_bits"].str.len() == sdf["n_bits"]).all():
+    if len(s) and not (s["sig_bits"].str.len() == s["n_bits"]).all():
         bad.append("sig_bits length != n_bits")
-    if not sdf["sig_bits"].str.fullmatch("[01]+").all():
+    if len(s) and not s["sig_bits"].str.fullmatch("[01]+").all():
         bad.append("sig_bits charset not {0,1}")
     return bad
 
@@ -164,11 +167,14 @@ def _sig_checks(sdf, con, col, nbytes):
     if len(sdf) != _n_docs(con):
         bad.append("row count != documents count")
     # <= nbytes, not ==: the reference's BitSet.toByteArray() truncation
-    # quirk (trailing zero bytes dropped) is replicated byte-exactly
-    lens = sdf[col].map(_b64_len)
-    if not ((lens > 0) & (lens <= nbytes)).all():
+    # quirk (trailing zero bytes dropped) is replicated byte-exactly.
+    # Null signatures are legal (null-content docs yield a null struct
+    # fieldset per the minhash_struct_udf contract) — skip them here; the
+    # identical-text check below still covers their grouping.
+    lens = sdf[col].dropna().map(_b64_len)
+    if len(lens) and not ((lens > 0) & (lens <= nbytes)).all():
         bad.append(f"{col} decodes outside (0,{nbytes}] bytes")
-    if len(sdf) and int(lens.max()) != nbytes:
+    if len(lens) and int(lens.max()) != nbytes:
         bad.append(f"no {col} decodes to the full {nbytes} bytes")
     # identical text => identical signature (pure function of content)
     texts = con.sql("SELECT doc_id, md5(text) AS h FROM documents").df()
@@ -193,7 +199,10 @@ def _inv_collapse(sdf, con):
     bad = []
     if int(sdf["n_docs"].sum()) != _n_docs(con):
         bad.append("sum(n_docs) != documents count")
-    if sdf["sig_b64"].nunique() != len(sdf):
+    # dropna=False: a null-signature group (null-content docs) is one
+    # legitimate group — default nunique() excluding NaN would flag a
+    # spurious duplicate
+    if sdf["sig_b64"].nunique(dropna=False) != len(sdf):
         bad.append("duplicate sig_b64 groups")
     if not (sdf["n_docs"] >= 1).all():
         bad.append("empty collapse group")
